@@ -1,0 +1,77 @@
+"""Attention cores as pure functions (XLA path).
+
+These implement the reference's attention quirks exactly (SURVEY.md §2.1):
+- cosine-sim attention: q/k l2-normalized then scaled by learned per-dim scales and a
+  fixed scale (default 8)  — reference imagen_pytorch.py:510-513,566-570
+- fp32 softmax island      — reference imagen_pytorch.py:583,829
+- learned null KV token prepended for classifier-free guidance — reference :545-547,807-809
+- multi-query attention (single KV head broadcast over query heads) — reference :522,588
+
+A Pallas flash-attention kernel (imagen_tpu.ops.flash_attention) provides the fused path
+for long flattened-pixel sequences; these XLA versions are the reference semantics and the
+fallback. XLA already fuses the mask/bias/scale elementwise chain into the softmax.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from imagen_tpu.utils.helpers import exists
+
+
+def _masked_softmax_fp32(sim, mask=None, null_tokens: int = 0):
+    """Softmax in fp32 with optional key-padding mask.
+
+    `mask` is (b, j_orig) boolean over the *original* context tokens; `null_tokens`
+    leading keys (null KV and/or text tokens already accounted by caller) are always
+    attended (reference pads mask with True at imagen_pytorch.py:576-579).
+    """
+    dtype = sim.dtype
+    if exists(mask):
+        if null_tokens > 0:
+            mask = jnp.pad(mask, ((0, 0), (null_tokens, 0)), constant_values=True)
+        max_neg = -jnp.finfo(dtype).max
+        mask_b = mask[:, None, None, :]  # b 1 1 j
+        sim = jnp.where(mask_b, sim, max_neg)
+    attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
+    return attn.astype(dtype)
+
+
+def multiquery_attention(q, k, v, *, scale, mask=None, attn_bias=None, null_tokens=0):
+    """Multi-query attention: q is (b, h, i, d); k, v are (b, j, d).
+
+    Mirrors the einsum pair at reference imagen_pytorch.py:565,588.
+    """
+    sim = jnp.einsum('bhid,bjd->bhij', q, k) * scale
+    if exists(attn_bias):
+        sim = sim + attn_bias
+    attn = _masked_softmax_fp32(sim, mask, null_tokens)
+    out = jnp.einsum('bhij,bjd->bhid', attn, v)
+    return out
+
+
+def multihead_attention(q, k, v, *, scale, mask=None, attn_bias=None, null_tokens=0):
+    """Full multi-head attention: q, k, v are (b, h, n, d).
+
+    Mirrors reference imagen_pytorch.py:818-833 (CrossAttention).
+    """
+    sim = jnp.einsum('bhid,bhjd->bhij', q, k) * scale
+    if exists(attn_bias):
+        sim = sim + attn_bias
+    attn = _masked_softmax_fp32(sim, mask, null_tokens)
+    out = jnp.einsum('bhij,bhjd->bhid', attn, v)
+    return out
+
+
+def kernelized_linear_attention(q, k, v, *, scale):
+    """softmax(q, -1) . softmax(k, -2) linear attention.
+
+    q, k, v are (b*, n, d) with heads folded into batch;
+    mirrors reference imagen_pytorch.py:864-872 / :934-939.
+    """
+    q = jax.nn.softmax(q, axis=-1)
+    k = jax.nn.softmax(k, axis=-2)
+    q = q * scale
+    ctx = jnp.einsum('bnd,bne->bde', k, v)
+    out = jnp.einsum('bnd,bde->bne', q, ctx)
+    return out

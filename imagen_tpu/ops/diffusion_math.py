@@ -98,7 +98,7 @@ class GaussianDiffusionContinuousTimes:
         """
         t_next = default(
             t_next,
-            lambda: jnp.clip(t - 1. / self.num_timesteps, a_min=0.),
+            lambda: jnp.clip(t - 1. / self.num_timesteps, min=0.),
         )
 
         log_snr = self.log_snr(t)
@@ -174,4 +174,4 @@ class GaussianDiffusionContinuousTimes:
         log_snr = self.log_snr(t)
         log_snr = right_pad_dims_to(x_t, log_snr)
         alpha, sigma = log_snr_to_alpha_sigma(log_snr)
-        return (x_t - sigma * noise) / jnp.clip(alpha, a_min=1e-8)
+        return (x_t - sigma * noise) / jnp.clip(alpha, min=1e-8)

@@ -18,12 +18,12 @@ from imagen_tpu.utils.helpers import exists
 
 def log(t, eps: float = 1e-12):
     """Stable log; reference imagen_pytorch.py:129-130."""
-    return jnp.log(jnp.clip(t, a_min=eps))
+    return jnp.log(jnp.clip(t, min=eps))
 
 
 def l2norm(t, axis: int = -1, eps: float = 1e-12):
     """F.normalize equivalent; reference imagen_pytorch.py:132-133."""
-    denom = jnp.clip(jnp.linalg.norm(t, axis=axis, keepdims=True), a_min=eps)
+    denom = jnp.clip(jnp.linalg.norm(t, axis=axis, keepdims=True), min=eps)
     return t / denom
 
 
@@ -50,7 +50,7 @@ def masked_mean(t, *, axis, mask=None):
     mask_b = mask[..., None]
     masked_t = jnp.where(mask_b, t, 0.)
 
-    return jnp.sum(masked_t, axis=axis) / jnp.clip(denom, a_min=1e-5)
+    return jnp.sum(masked_t, axis=axis) / jnp.clip(denom, min=1e-5)
 
 
 def resize_image_to(image, target_image_size, clamp_range=None, method='nearest'):
