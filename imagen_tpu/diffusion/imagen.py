@@ -1,0 +1,735 @@
+"""Cascading continuous-time DDPM orchestrator (the `Imagen` class), TPU-native.
+
+Capability parity with the reference `Imagen`
+(/root/reference/imagen_pytorch/imagen_pytorch.py:1787-2734), redesigned for XLA:
+
+- `Imagen` is a *static config object* owning flax unet modules + schedule configs.
+  Parameters live outside as pytrees (one per unet); every compute path is a pure
+  function the caller jits (the trainer jits `loss_fn`; `sample` jits one program per
+  cascade stage and caches it).
+- The reference's python sampling loop (:2242-2279) compiles into a single `lax.scan`
+  over (t, t_next) pairs per stage, with CFG, dynamic thresholding, the RePaint
+  inpaint-resample inner `lax.fori_loop`, and the posterior step fused into one XLA
+  program. No host<->device traffic inside a stage.
+- Explicit PRNG keys replace all implicit torch randomness.
+- The reference's GPU/CPU unet juggling (`one_unet_in_gpu`, :2011-2028) is unnecessary:
+  each stage's jitted program only touches that stage's params; park non-active stage
+  params on host with `jax.device_put` when memory-constrained (see `sample`'s
+  `unet_params_device` note).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from einops import repeat
+
+from imagen_tpu.models.unet2d import NullUnet, Unet
+from imagen_tpu.ops.diffusion_math import GaussianDiffusionContinuousTimes
+from imagen_tpu.ops.tensor_utils import (
+    cast_uint8_images_to_float,
+    normalize_neg_one_to_one,
+    resize_image_to,
+    right_pad_dims_to,
+    unnormalize_zero_to_one,
+)
+from imagen_tpu.utils.helpers import (
+    cast_tuple,
+    default,
+    exists,
+    first,
+    identity,
+    maybe,
+    pad_tuple_to_length,
+)
+
+
+def _l1_loss(pred, target):
+    return jnp.abs(pred - target)
+
+
+def _l2_loss(pred, target):
+    return (pred - target) ** 2
+
+
+def _huber_loss(pred, target, beta: float = 1.0):
+    """smooth_l1 with beta=1 (torch default)."""
+    diff = jnp.abs(pred - target)
+    return jnp.where(diff < beta, 0.5 * diff ** 2 / beta, diff - 0.5 * beta)
+
+
+LOSS_FNS = {'l1': _l1_loss, 'l2': _l2_loss, 'huber': _huber_loss}
+
+
+def unet_forward_with_cond_scale(unet, variables, x, time, *, cond_scale=1.,
+                                 rngs=None, **kwargs):
+    """Classifier-free guidance: lerp from the fully-dropped (null) prediction.
+
+    Reference imagen_pytorch.py:1510-1522. Both branches are static graphs
+    (cond_drop_prob 0 / 1), so inside a scanned sampler this is two fused unet calls.
+    """
+    logits = unet.apply(variables, x, time, cond_drop_prob=0., rngs=rngs, **kwargs)
+
+    if cond_scale == 1:
+        return logits
+
+    null_logits = unet.apply(variables, x, time, cond_drop_prob=1., rngs=rngs, **kwargs)
+    return null_logits + (logits - null_logits) * cond_scale
+
+
+def _per_sample_random_crop(key, tensors, crop_size):
+    """Paired per-sample random crop of NHWC tensors (same offsets across tensors).
+
+    Replaces the reference's kornia paired RandomCrop (imagen_pytorch.py:2532-2546).
+    """
+    b, h, w, _ = tensors[0].shape
+    kh, kw = jax.random.split(key)
+    tops = jax.random.randint(kh, (b,), 0, h - crop_size + 1)
+    lefts = jax.random.randint(kw, (b,), 0, w - crop_size + 1)
+
+    def crop_one(t, top, left):
+        return jax.lax.dynamic_slice(
+            t, (top, left, 0), (crop_size, crop_size, t.shape[-1]))
+
+    return tuple(jax.vmap(crop_one)(t, tops, lefts) for t in tensors)
+
+
+@dataclass
+class Imagen:
+    """Static cascade config. Attribute names mirror the reference kwargs (:1788-1815)."""
+    unets: Union[Unet, Sequence[Any]]
+    image_sizes: Union[int, Tuple[int, ...]] = None
+    text_encoder_name: str = 'google/t5-v1_1-base'
+    text_embed_dim: Optional[int] = None
+    channels: int = 3
+    timesteps: Union[int, Tuple[int, ...]] = 1000
+    cond_drop_prob: float = 0.1
+    loss_type: str = 'l2'
+    noise_schedules: Union[str, Tuple[str, ...]] = 'cosine'
+    pred_objectives: Union[str, Tuple[str, ...]] = 'noise'
+    random_crop_sizes: Union[None, int, Tuple[Optional[int], ...]] = None
+    lowres_noise_schedule: str = 'linear'
+    lowres_sample_noise_level: float = 0.2
+    per_sample_random_aug_noise_level: bool = False
+    condition_on_text: bool = True
+    auto_normalize_img: bool = True
+    dynamic_thresholding: Union[bool, Tuple[bool, ...]] = True
+    dynamic_thresholding_percentile: float = 0.95
+    only_train_unet_number: Optional[int] = None
+    temporal_downsample_factor: Union[int, Tuple[int, ...]] = 1
+    resize_cond_video_frames: bool = True
+    resize_mode: str = 'nearest'
+    min_snr_loss_weight: bool = True
+    min_snr_gamma: float = 5
+
+    def __post_init__(self):
+        if self.loss_type not in LOSS_FNS:
+            raise NotImplementedError(f'unknown loss type {self.loss_type}')
+        self.loss_fn = LOSS_FNS[self.loss_type]
+
+        self.unconditional = not self.condition_on_text
+
+        unets = cast_tuple(self.unets)
+        num_unets = len(unets)
+        self.num_unets = num_unets
+
+        timesteps = cast_tuple(self.timesteps, num_unets)
+
+        # noise schedule defaults: cosine, cosine, then linear for the SR tail
+        # (reference :1851-1855)
+        noise_schedules = cast_tuple(self.noise_schedules)
+        noise_schedules = pad_tuple_to_length(noise_schedules, 2, 'cosine')
+        noise_schedules = pad_tuple_to_length(noise_schedules, num_unets, 'linear')
+
+        self.noise_schedulers = tuple(
+            GaussianDiffusionContinuousTimes(noise_schedule=sched, timesteps=ts)
+            for ts, sched in zip(timesteps, noise_schedules))
+
+        self.random_crop_sizes = cast_tuple(self.random_crop_sizes, num_unets)
+        assert not exists(first(self.random_crop_sizes)), \
+            'random_crop_sizes should be None for the base unet (e.g. (None, 128, 256))'
+
+        self.lowres_noise_schedule_ = GaussianDiffusionContinuousTimes(
+            noise_schedule=self.lowres_noise_schedule)
+
+        self.pred_objectives = cast_tuple(self.pred_objectives, num_unets)
+
+        self.text_embed_dim = default(
+            self.text_embed_dim,
+            lambda: _get_encoded_dim(self.text_encoder_name) if self.condition_on_text else None)
+
+        # reconcile unet conditioning config for the cascade (reference :1895-1905)
+        cast_unets = []
+        for ind, one_unet in enumerate(unets):
+            is_first = ind == 0
+            one_unet = one_unet.cast_model_parameters(
+                lowres_cond=not is_first,
+                cond_on_text=self.condition_on_text,
+                text_embed_dim=self.text_embed_dim if self.condition_on_text else None,
+                channels=self.channels,
+                channels_out=self.channels,
+            )
+            cast_unets.append(one_unet)
+        self.unets = tuple(cast_unets)
+
+        self.image_sizes = cast_tuple(self.image_sizes)
+        assert num_unets == len(self.image_sizes), \
+            f'{num_unets} unets does not match image_sizes {self.image_sizes}'
+
+        self.sample_channels = cast_tuple(self.channels, num_unets)
+
+        self.is_video = any(getattr(u, 'is_video_unet', False) for u in self.unets)
+
+        lowres_conditions = tuple(u.lowres_cond for u in self.unets)
+        assert lowres_conditions == (False, *((True,) * (num_unets - 1))), \
+            'first unet must not be lowres-conditioned; the rest must be'
+
+        self.temporal_downsample_factor = cast_tuple(
+            self.temporal_downsample_factor, num_unets)
+        assert self.temporal_downsample_factor[-1] == 1
+
+        self.can_classifier_guidance = self.cond_drop_prob > 0.
+
+        self.normalize_img = (
+            normalize_neg_one_to_one if self.auto_normalize_img else identity)
+        self.unnormalize_img = (
+            unnormalize_zero_to_one if self.auto_normalize_img else identity)
+        self.input_image_range = (0. if self.auto_normalize_img else -1., 1.)
+
+        self.dynamic_thresholding = cast_tuple(self.dynamic_thresholding, num_unets)
+
+        min_snr_loss_weight = cast_tuple(self.min_snr_loss_weight, num_unets)
+        min_snr_gamma = cast_tuple(self.min_snr_gamma, num_unets)
+        self.min_snr_gamma = tuple(
+            (gamma if use else None)
+            for use, gamma in zip(min_snr_loss_weight, min_snr_gamma))
+
+        self.resize_to = functools.partial(resize_image_to, method=self.resize_mode)
+
+        self._stage_sample_cache = {}
+
+    # --- parameter init ------------------------------------------------------------------
+
+    def get_unet(self, unet_number):
+        assert 0 < unet_number <= self.num_unets
+        return self.unets[unet_number - 1]
+
+    def init_unet_params(self, unet_number, key, *, batch_size=1, text_len=None,
+                         image_size=None):
+        """Initialize one unet's variables with correctly-shaped dummy inputs."""
+        unet = self.get_unet(unet_number)
+        if isinstance(unet, NullUnet):
+            return unet.init({'params': key}, jnp.zeros((1, 4, 4, self.channels)))
+
+        index = unet_number - 1
+        size = default(image_size, self.image_sizes[index])
+        x = jnp.zeros((batch_size, size, size, self.channels))
+        time = jnp.zeros((batch_size,))
+        kwargs = {}
+        if unet.lowres_cond:
+            kwargs['lowres_cond_img'] = jnp.zeros_like(x)
+            kwargs['lowres_noise_times'] = time
+        if self.condition_on_text:
+            text_len = default(text_len, 8)
+            kwargs['text_embeds'] = jnp.zeros(
+                (batch_size, text_len, self.text_embed_dim))
+            kwargs['text_mask'] = jnp.ones((batch_size, text_len), dtype=bool)
+        if unet.has_cond_image:
+            kwargs['cond_images'] = jnp.zeros(
+                (batch_size, size, size, unet.cond_images_channels))
+        return unet.init({'params': key}, x, time, **kwargs)
+
+    def init_params(self, key, **kwargs):
+        """Init all unets; returns a tuple of variable pytrees."""
+        keys = jax.random.split(key, self.num_unets)
+        return tuple(
+            self.init_unet_params(i + 1, k, **kwargs) for i, k in enumerate(keys))
+
+    # --- dynamic thresholding ------------------------------------------------------------
+
+    def threshold_x_start(self, x_start, dynamic_threshold=True):
+        """Static clamp or dynamic percentile thresholding;
+        reference imagen_pytorch.py:2094-2105."""
+        if not dynamic_threshold:
+            return jnp.clip(x_start, -1., 1.)
+
+        flat = jnp.abs(x_start.reshape(x_start.shape[0], -1))
+        s = jnp.quantile(flat.astype(jnp.float32),
+                         self.dynamic_thresholding_percentile, axis=-1)
+        s = jnp.clip(s, min=1.)
+        s = right_pad_dims_to(x_start, s).astype(x_start.dtype)
+        return jnp.clip(x_start, -s, s) / s
+
+    # --- one denoising step --------------------------------------------------------------
+
+    def p_mean_variance(self, unet, variables, x, t, *, noise_scheduler,
+                        t_next=None, cond_scale=1., model_output=None,
+                        pred_objective='noise', dynamic_threshold=True, **unet_kwargs):
+        """Posterior mean/variance of one reverse step; reference :2042-2110."""
+        assert not (cond_scale != 1. and not self.can_classifier_guidance), \
+            'imagen was not trained with conditional dropout; cannot use cond_scale != 1'
+
+        pred = default(model_output, lambda: unet_forward_with_cond_scale(
+            unet, variables, x, noise_scheduler.get_condition(t),
+            cond_scale=cond_scale, **unet_kwargs))
+
+        if pred_objective == 'noise':
+            x_start = noise_scheduler.predict_start_from_noise(x, t, pred)
+        elif pred_objective == 'x_start':
+            x_start = pred
+        elif pred_objective == 'v':
+            x_start = noise_scheduler.predict_start_from_v(x, t, pred)
+        else:
+            raise ValueError(f'unknown objective {pred_objective}')
+
+        x_start = self.threshold_x_start(x_start, dynamic_threshold)
+
+        mean_and_variance = noise_scheduler.q_posterior(
+            x_start=x_start, x_t=x, t=t, t_next=t_next)
+        return mean_and_variance, x_start
+
+    def p_sample(self, unet, variables, x, t, *, key, noise_scheduler, t_next=None,
+                 cond_scale=1., pred_objective='noise', dynamic_threshold=True,
+                 **unet_kwargs):
+        """One ancestral sampling step; reference :2112-2164."""
+        (model_mean, _, model_log_variance), x_start = self.p_mean_variance(
+            unet, variables, x, t, noise_scheduler=noise_scheduler, t_next=t_next,
+            cond_scale=cond_scale, pred_objective=pred_objective,
+            dynamic_threshold=dynamic_threshold, **unet_kwargs)
+
+        noise = jax.random.normal(key, x.shape, x.dtype)
+        is_last_sampling_timestep = (t_next == 0)
+        nonzero_mask = right_pad_dims_to(
+            x, 1. - is_last_sampling_timestep.astype(x.dtype))
+        pred_img = model_mean + nonzero_mask * jnp.exp(0.5 * model_log_variance) * noise
+        return pred_img, x_start
+
+    # --- whole-stage sampler (one compiled scan) ----------------------------------------
+
+    def _make_stage_sampler(self, unet_index, *, cond_scale, resample_times,
+                            has_inpainting, skip_steps, has_init_images, has_text,
+                            has_cond_images):
+        """Build the jitted sampler for one cascade stage.
+
+        The entire reference loop (imagen_pytorch.py:2168-2289) becomes one
+        `lax.scan` over (t, t_next) with the RePaint resample inner `fori_loop`.
+        """
+        unet = self.unets[unet_index]
+        noise_scheduler = self.noise_schedulers[unet_index]
+        pred_objective = self.pred_objectives[unet_index]
+        dynamic_threshold = self.dynamic_thresholding[unet_index]
+        lowres_cond = unet.lowres_cond
+
+        def stage_sample(variables, key, shape_b, shape_hw, text_embeds, text_mask,
+                         cond_images, lowres_cond_img, lowres_noise_times,
+                         inpaint_images, inpaint_masks, init_images):
+            batch = shape_b
+            shape = (batch, shape_hw, shape_hw, self.channels)
+
+            key, init_key = jax.random.split(key)
+            img = jax.random.normal(init_key, shape)
+            if has_init_images:
+                img = img + init_images
+
+            t_arr, t_next_arr = noise_scheduler.get_sampling_timesteps(batch)
+            if skip_steps:
+                t_arr = t_arr[skip_steps:]
+                t_next_arr = t_next_arr[skip_steps:]
+
+            unet_kwargs = {}
+            if has_text:
+                unet_kwargs.update(text_embeds=text_embeds, text_mask=text_mask)
+            if has_cond_images:
+                unet_kwargs.update(cond_images=cond_images)
+            if lowres_cond:
+                unet_kwargs.update(
+                    lowres_cond_img=lowres_cond_img,
+                    lowres_noise_times=self.lowres_noise_schedule_.get_condition(
+                        lowres_noise_times))
+
+            def step(carry, ts):
+                img, x_start, key = carry
+                times, times_next = ts
+                is_last_timestep = times_next == 0
+
+                def resample_body(i, inner):
+                    img, x_start, key = inner
+                    r_is_last = i == (resample_times - 1)
+
+                    if has_inpainting:
+                        key, nk = jax.random.split(key)
+                        noised_inpaint, *_ = noise_scheduler.q_sample(
+                            inpaint_images, times,
+                            jax.random.normal(nk, inpaint_images.shape))
+                        img = jnp.where(inpaint_masks, noised_inpaint, img)
+
+                    self_cond = x_start if unet.self_cond else None
+
+                    key, sk = jax.random.split(key)
+                    img, x_start = self.p_sample(
+                        unet, variables, img, times, key=sk, t_next=times_next,
+                        noise_scheduler=noise_scheduler, cond_scale=cond_scale,
+                        pred_objective=pred_objective,
+                        dynamic_threshold=dynamic_threshold,
+                        self_cond=self_cond, **unet_kwargs)
+
+                    if has_inpainting and resample_times > 1:
+                        key, rk = jax.random.split(key)
+                        renoised = noise_scheduler.q_sample_from_to(
+                            img, times_next, times,
+                            jax.random.normal(rk, img.shape))
+                        renoise_mask = right_pad_dims_to(
+                            img, jnp.logical_not(is_last_timestep)) & jnp.logical_not(r_is_last)
+                        img = jnp.where(renoise_mask, renoised, img)
+
+                    return (img, x_start, key)
+
+                if resample_times > 1:
+                    img, x_start, key = jax.lax.fori_loop(
+                        0, resample_times, resample_body, (img, x_start, key))
+                else:
+                    img, x_start, key = resample_body(
+                        resample_times - 1, (img, x_start, key))
+
+                return (img, x_start, key), None
+
+            x_start0 = jnp.zeros_like(img)
+            (img, _, _), _ = jax.lax.scan(
+                step, (img, x_start0, key), (t_arr, t_next_arr))
+
+            img = jnp.clip(img, -1., 1.)
+            if has_inpainting:
+                img = jnp.where(inpaint_masks, inpaint_images, img)
+            return self.unnormalize_img(img)
+
+        return jax.jit(stage_sample, static_argnums=(2, 3))
+
+    # --- public sampling API -------------------------------------------------------------
+
+    def sample(
+        self,
+        params,
+        key,
+        *,
+        texts=None,
+        text_masks=None,
+        text_embeds=None,
+        cond_images=None,
+        inpaint_images=None,
+        inpaint_masks=None,
+        inpaint_resample_times=5,
+        init_images=None,
+        skip_steps=None,
+        batch_size=1,
+        cond_scale=1.,
+        lowres_sample_noise_level=None,
+        start_at_unet_number=1,
+        start_image_or_video=None,
+        stop_at_unet_number=None,
+        return_all_unet_outputs=False,
+        return_pil_images=False,
+        use_tqdm=True,
+    ):
+        """Run the full cascade; reference imagen_pytorch.py:2294-2498.
+
+        `params` is the tuple of per-unet variables. The host loop only orchestrates
+        stages; each stage is one compiled program. `use_tqdm` is accepted for API
+        parity (stages are compiled scans; there is no per-step host callback).
+        """
+        cond_images = maybe(cast_uint8_images_to_float)(cond_images)
+
+        if exists(texts) and not exists(text_embeds) and not self.unconditional:
+            from imagen_tpu.models.t5 import t5_encode_text
+            text_embeds, text_masks = t5_encode_text(
+                texts, name=self.text_encoder_name, return_attn_mask=True)
+
+        if not self.unconditional:
+            assert exists(text_embeds), \
+                'text or text encodings must be passed to a conditional imagen'
+            text_masks = default(
+                text_masks, lambda: jnp.any(text_embeds != 0., axis=-1))
+            batch_size = text_embeds.shape[0]
+            assert text_embeds.shape[-1] == self.text_embed_dim
+        else:
+            assert not exists(text_embeds), \
+                'unconditional imagen cannot take text embeddings'
+
+        has_inpainting = exists(inpaint_images) and exists(inpaint_masks)
+        assert not (exists(inpaint_images) ^ exists(inpaint_masks))
+        resample_times = inpaint_resample_times if has_inpainting else 1
+
+        if has_inpainting and self.unconditional and batch_size == 1:
+            batch_size = inpaint_images.shape[0]
+
+        lowres_sample_noise_level = default(
+            lowres_sample_noise_level, self.lowres_sample_noise_level)
+
+        num_unets = self.num_unets
+        cond_scale = cast_tuple(cond_scale, num_unets)
+        init_images = cast_tuple(init_images, num_unets)
+        init_images = [maybe(self.normalize_img)(im) for im in init_images]
+        skip_steps = cast_tuple(default(skip_steps, 0), num_unets)
+
+        img = None
+        if start_at_unet_number > 1:
+            assert start_at_unet_number <= num_unets
+            assert exists(start_image_or_video), \
+                'starting image must be supplied if only doing upscaling'
+            prev_image_size = self.image_sizes[start_at_unet_number - 2]
+            img = self.resize_to(start_image_or_video, prev_image_size)
+
+        outputs = []
+        for unet_number in range(1, num_unets + 1):
+            if unet_number < start_at_unet_number:
+                continue
+            index = unet_number - 1
+            unet = self.unets[index]
+            assert not isinstance(unet, NullUnet), 'cannot sample from a NullUnet'
+
+            image_size = self.image_sizes[index]
+            variables = params[index]
+
+            key, stage_key, lr_key = jax.random.split(key, 3)
+
+            # lowres conditioning from previous stage output (reference :2443-2449)
+            lowres_cond_img = lowres_noise_times = None
+            if unet.lowres_cond:
+                lowres_noise_times = self.lowres_noise_schedule_.get_times(
+                    batch_size, lowres_sample_noise_level)
+                lowres_cond_img = self.resize_to(img, image_size)
+                lowres_cond_img = self.normalize_img(lowres_cond_img)
+                lowres_cond_img, *_ = self.lowres_noise_schedule_.q_sample(
+                    lowres_cond_img, lowres_noise_times,
+                    jax.random.normal(lr_key, lowres_cond_img.shape))
+
+            unet_init_images = init_images[index]
+            if exists(unet_init_images):
+                unet_init_images = self.resize_to(unet_init_images, image_size)
+
+            stage_inpaint_images = stage_inpaint_masks = None
+            if has_inpainting:
+                stage_inpaint_images = self.normalize_img(
+                    self.resize_to(inpaint_images, image_size))
+                stage_inpaint_masks = self.resize_to(
+                    inpaint_masks[..., None].astype(jnp.float32), image_size
+                ).astype(bool)
+
+            cache_key = (index, cond_scale[index], resample_times, has_inpainting,
+                         skip_steps[index], exists(unet_init_images),
+                         not self.unconditional, exists(cond_images))
+            if cache_key not in self._stage_sample_cache:
+                self._stage_sample_cache[cache_key] = self._make_stage_sampler(
+                    index, cond_scale=cond_scale[index],
+                    resample_times=resample_times, has_inpainting=has_inpainting,
+                    skip_steps=skip_steps[index],
+                    has_init_images=exists(unet_init_images),
+                    has_text=not self.unconditional,
+                    has_cond_images=exists(cond_images))
+            stage_fn = self._stage_sample_cache[cache_key]
+
+            img = stage_fn(
+                variables, stage_key, batch_size, image_size, text_embeds, text_masks,
+                cond_images, lowres_cond_img, lowres_noise_times,
+                stage_inpaint_images, stage_inpaint_masks, unet_init_images)
+
+            outputs.append(img)
+
+            if exists(stop_at_unet_number) and stop_at_unet_number == unet_number:
+                break
+
+        output_index = -1 if not return_all_unet_outputs else slice(None)
+
+        if not return_pil_images:
+            return outputs[output_index]
+
+        if not return_all_unet_outputs:
+            outputs = outputs[-1:]
+
+        from PIL import Image
+        pil_images = [
+            [Image.fromarray(
+                np.asarray(jnp.clip(im * 255, 0, 255)).astype(np.uint8))
+             for im in out]
+            for out in outputs]
+        return pil_images[output_index]
+
+    # --- training loss -------------------------------------------------------------------
+
+    def p_losses(self, unet, variables, x_start, times, key, *, noise_scheduler,
+                 lowres_cond_img=None, lowres_aug_times=None, text_embeds=None,
+                 text_mask=None, cond_images=None, noise=None, pred_objective='noise',
+                 min_snr_gamma=None, random_crop_size=None, **kwargs):
+        """Denoising loss for one unet; reference imagen_pytorch.py:2500-2638."""
+        key, nk, lrk, sck, cdk, cdk2 = jax.random.split(key, 6)
+        noise = default(noise, lambda: jax.random.normal(nk, x_start.shape, x_start.dtype))
+
+        x_start = self.normalize_img(x_start)
+        lowres_cond_img = maybe(self.normalize_img)(lowres_cond_img)
+
+        # paired random crop for SR stages (reference :2532-2546)
+        if exists(random_crop_size):
+            key, crop_key = jax.random.split(key)
+            if exists(lowres_cond_img):
+                x_start, lowres_cond_img, noise = _per_sample_random_crop(
+                    crop_key, (x_start, lowres_cond_img, noise), random_crop_size)
+            else:
+                x_start, noise = _per_sample_random_crop(
+                    crop_key, (x_start, noise), random_crop_size)
+
+        x_noisy, log_snr, alpha, sigma = noise_scheduler.q_sample(
+            x_start, times, noise)
+
+        lowres_cond_img_noisy = None
+        if exists(lowres_cond_img):
+            lowres_aug_times = default(lowres_aug_times, times)
+            lowres_cond_img_noisy, *_ = self.lowres_noise_schedule_.q_sample(
+                lowres_cond_img, lowres_aug_times,
+                jax.random.normal(lrk, lowres_cond_img.shape, lowres_cond_img.dtype))
+
+        noise_cond = noise_scheduler.get_condition(times)
+
+        unet_kwargs = dict(
+            text_embeds=text_embeds,
+            text_mask=text_mask,
+            cond_images=cond_images,
+            lowres_noise_times=self.lowres_noise_schedule_.get_condition(
+                lowres_aug_times),
+            lowres_cond_img=lowres_cond_img_noisy,
+            cond_drop_prob=self.cond_drop_prob,
+            **kwargs,
+        )
+        unet_kwargs = {k: v for k, v in unet_kwargs.items() if exists(v) or k in (
+            'cond_drop_prob',)}
+
+        # self-conditioning 50% of the time (reference :2581-2593)
+        if unet.self_cond:
+            def compute_self_cond(_):
+                pred = unet.apply(variables, x_noisy, noise_cond,
+                                  rngs={'cond_drop': cdk2}, **unet_kwargs)
+                x0 = (noise_scheduler.predict_start_from_noise(x_noisy, times, pred)
+                      if pred_objective == 'noise' else pred)
+                return jax.lax.stop_gradient(x0)
+
+            flip = jax.random.bernoulli(sck)
+            self_cond_val = jax.lax.cond(
+                flip, compute_self_cond,
+                lambda _: jnp.zeros_like(x_noisy), operand=None)
+            unet_kwargs['self_cond'] = self_cond_val
+
+        pred = unet.apply(variables, x_noisy, noise_cond,
+                          rngs={'cond_drop': cdk}, **unet_kwargs)
+
+        if pred_objective == 'noise':
+            target = noise
+        elif pred_objective == 'x_start':
+            target = x_start
+        elif pred_objective == 'v':
+            # Progressive Distillation appendix D; fixes color shift in SR unets
+            target = alpha * noise - sigma * x_start
+        else:
+            raise ValueError(f'unknown objective {pred_objective}')
+
+        losses = self.loss_fn(pred.astype(jnp.float32), target.astype(jnp.float32))
+        losses = jnp.mean(losses.reshape(losses.shape[0], -1), axis=-1)
+
+        # min-SNR loss reweighting (reference :2623-2636; arXiv 2303.09556)
+        snr = jnp.exp(log_snr.astype(jnp.float32))
+        maybe_clipped_snr = snr
+        if exists(min_snr_gamma):
+            maybe_clipped_snr = jnp.clip(snr, max=min_snr_gamma)
+
+        if pred_objective == 'noise':
+            loss_weight = maybe_clipped_snr / snr
+        elif pred_objective == 'x_start':
+            loss_weight = maybe_clipped_snr
+        elif pred_objective == 'v':
+            loss_weight = maybe_clipped_snr / (snr + 1)
+
+        return jnp.mean(losses * loss_weight)
+
+    def forward(self, params, images, key, *, unet_number=None, texts=None,
+                text_embeds=None, text_masks=None, cond_images=None, **kwargs):
+        """Training loss entry point; reference imagen_pytorch.py:2640-2734.
+
+        Pure in (params, images, key) — jit/grad over it. `params` may be the
+        whole per-unet tuple or a single unet's variables.
+        """
+        assert not (self.num_unets > 1 and not exists(unet_number)), \
+            f'specify unet_number in [1, {self.num_unets}] for a cascade'
+        unet_number = default(unet_number, 1)
+        assert not exists(self.only_train_unet_number) or \
+            self.only_train_unet_number == unet_number
+
+        unet_index = unet_number - 1
+        unet = self.unets[unet_index]
+        variables = params[unet_index] if isinstance(params, (tuple, list)) else params
+        assert not isinstance(unet, NullUnet), 'NullUnet cannot be trained'
+
+        images = cast_uint8_images_to_float(images)
+        cond_images = maybe(cast_uint8_images_to_float)(cond_images)
+
+        assert images.shape[-2] == images.shape[-3], 'images must be square (NHWC)'
+        assert images.shape[-1] == self.channels
+
+        noise_scheduler = self.noise_schedulers[unet_index]
+        min_snr_gamma = self.min_snr_gamma[unet_index]
+        pred_objective = self.pred_objectives[unet_index]
+        target_image_size = self.image_sizes[unet_index]
+        random_crop_size = self.random_crop_sizes[unet_index]
+        prev_image_size = self.image_sizes[unet_index - 1] if unet_index > 0 else None
+
+        b = images.shape[0]
+        h = images.shape[-2]
+        assert h >= target_image_size
+
+        key, tk, ek, ak = jax.random.split(key, 4)
+        times = noise_scheduler.sample_random_times(tk, b)
+
+        if exists(texts) and not exists(text_embeds) and not self.unconditional:
+            from imagen_tpu.models.t5 import t5_encode_text
+            text_embeds, text_masks = t5_encode_text(
+                texts, name=self.text_encoder_name, return_attn_mask=True)
+
+        if not self.unconditional:
+            text_masks = default(
+                text_masks, lambda: jnp.any(text_embeds != 0., axis=-1))
+
+        assert not (self.condition_on_text and not exists(text_embeds))
+        assert not (not self.condition_on_text and exists(text_embeds))
+        if exists(text_embeds):
+            assert text_embeds.shape[-1] == self.text_embed_dim
+
+        # lowres degrade-resize conditioning + aug times (reference :2718-2730)
+        lowres_cond_img = lowres_aug_times = None
+        if exists(prev_image_size):
+            lowres_cond_img = self.resize_to(
+                images, prev_image_size, clamp_range=self.input_image_range)
+            lowres_cond_img = self.resize_to(
+                lowres_cond_img, target_image_size,
+                clamp_range=self.input_image_range)
+
+            if self.per_sample_random_aug_noise_level:
+                lowres_aug_times = self.lowres_noise_schedule_.sample_random_times(ak, b)
+            else:
+                lowres_aug_time = self.lowres_noise_schedule_.sample_random_times(ak, 1)
+                lowres_aug_times = repeat(lowres_aug_time, '1 -> b', b=b)
+
+        images = self.resize_to(images, target_image_size)
+
+        return self.p_losses(
+            unet, variables, images, times, ek, noise_scheduler=noise_scheduler,
+            text_embeds=text_embeds, text_mask=text_masks, cond_images=cond_images,
+            lowres_cond_img=lowres_cond_img, lowres_aug_times=lowres_aug_times,
+            pred_objective=pred_objective, min_snr_gamma=min_snr_gamma,
+            random_crop_size=random_crop_size, **kwargs)
+
+    __call__ = forward
+
+
+def _get_encoded_dim(name):
+    from imagen_tpu.models.t5 import get_encoded_dim
+    return get_encoded_dim(name)

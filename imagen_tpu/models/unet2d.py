@@ -447,16 +447,29 @@ class Unet(nn.Module):
 
 class NullUnet(nn.Module):
     """Identity placeholder so a cascade stage can be skipped;
-    reference imagen_pytorch.py:1729-1739."""
+    reference imagen_pytorch.py:1729-1739.
+
+    Unlike the reference (whose NullUnet pins lowres_cond=False and therefore trips
+    Imagen's cascade check when placed after the first stage), cast_model_parameters
+    here records the requested lowres_cond so a NullUnet is valid at any position.
+    """
     lowres_cond: bool = False
     channels: int = 3
+    self_cond: bool = False
+    cond_images_channels: int = 0
+
+    @property
+    def has_cond_image(self):
+        return False
 
     @property
     def channels_out_(self):
         return self.channels
 
-    def cast_model_parameters(self, *args, **kwargs):
-        return self
+    def cast_model_parameters(self, *, lowres_cond=False, **kwargs):
+        if lowres_cond == self.lowres_cond:
+            return self
+        return self.clone(lowres_cond=lowres_cond)
 
     @nn.compact
     def __call__(self, x, *args, **kwargs):
