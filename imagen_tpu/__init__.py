@@ -1,1 +1,34 @@
+"""Public API surface, mirroring the reference __init__.py:1-21."""
 from imagen_tpu.version import __version__
+
+from imagen_tpu.models.unet2d import (
+    Unet,
+    NullUnet,
+    BaseUnet64,
+    SRUnet256,
+    SRUnet1024,
+)
+
+from imagen_tpu.diffusion.imagen import Imagen
+from imagen_tpu.diffusion.elucidated import ElucidatedImagen
+
+from imagen_tpu.trainer import ImagenTrainer
+
+from imagen_tpu.configs import (
+    UnetConfig,
+    Unet3DConfig,
+    NullUnetConfig,
+    ImagenConfig,
+    ElucidatedImagenConfig,
+    ImagenTrainerConfig,
+)
+
+from imagen_tpu.utils.load import load_imagen_from_checkpoint
+
+
+def __getattr__(name):
+    # Unet3D imports lazily (video stack)
+    if name == 'Unet3D':
+        from imagen_tpu.models.unet3d import Unet3D
+        return Unet3D
+    raise AttributeError(f'module {__name__!r} has no attribute {name!r}')

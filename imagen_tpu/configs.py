@@ -1,0 +1,191 @@
+"""Pydantic v2 config system.
+
+Capability parity with the reference configs.py
+(/root/reference/imagen_pytorch/configs.py:1-178): `extra="allow"` passthrough models
+mirroring constructor kwargs, `.create()` builders that attach `_config` for
+self-describing checkpoints, and the same JSON shape as `default_config.json`.
+
+Fixed vs reference: `ImagenTrainerConfig.create` references an undefined `video`
+variable upstream (configs.py:176) — here the flag is threaded properly.
+"""
+from __future__ import annotations
+
+from enum import Enum
+from typing import List, Optional, Tuple, Union
+
+from pydantic import BaseModel, ConfigDict, model_validator
+
+from imagen_tpu.models.t5 import DEFAULT_T5_NAME, get_encoded_dim
+from imagen_tpu.utils.helpers import default, exists
+
+
+def ListOrTuple(inner_type):
+    return Union[List[inner_type], Tuple[inner_type]]
+
+
+def SingleOrList(inner_type):
+    return Union[inner_type, ListOrTuple(inner_type)]
+
+
+class NoiseSchedule(Enum):
+    cosine = 'cosine'
+    linear = 'linear'
+
+
+class AllowExtraBaseModel(BaseModel):
+    model_config = ConfigDict(extra='allow', use_enum_values=True)
+
+
+class NullUnetConfig(BaseModel):
+    is_null: bool
+
+    def create(self):
+        from imagen_tpu.models.unet2d import NullUnet
+        return NullUnet()
+
+
+class UnetConfig(AllowExtraBaseModel):
+    dim: int
+    dim_mults: ListOrTuple(int)
+    text_embed_dim: int = get_encoded_dim(DEFAULT_T5_NAME)
+    cond_dim: Optional[int] = None
+    channels: int = 3
+    attn_dim_head: int = 32
+    attn_heads: int = 16
+
+    def create(self):
+        from imagen_tpu.models.unet2d import Unet
+        return Unet(**_tuplify(self.model_dump()))
+
+
+class Unet3DConfig(AllowExtraBaseModel):
+    dim: int
+    dim_mults: ListOrTuple(int)
+    text_embed_dim: int = get_encoded_dim(DEFAULT_T5_NAME)
+    cond_dim: Optional[int] = None
+    channels: int = 3
+    attn_dim_head: int = 32
+    attn_heads: int = 16
+
+    def create(self):
+        from imagen_tpu.models.unet3d import Unet3D
+        return Unet3D(**_tuplify(self.model_dump()))
+
+
+def _tuplify(d):
+    """Lists from JSON -> tuples (flax module attrs must be hashable)."""
+    return {k: tuple(v) if isinstance(v, list) else v for k, v in d.items()}
+
+
+def _build_unets(unet_configs, unets_kwargs, is_video):
+    from imagen_tpu.models.unet2d import NullUnet, Unet
+    unets = []
+    for unet, unet_kwargs in zip(unet_configs, unets_kwargs):
+        if isinstance(unet, NullUnetConfig):
+            unets.append(NullUnet())
+        elif is_video:
+            from imagen_tpu.models.unet3d import Unet3D
+            unets.append(Unet3D(**_tuplify(unet_kwargs)))
+        else:
+            unets.append(Unet(**_tuplify(unet_kwargs)))
+    return unets
+
+
+class ImagenConfig(AllowExtraBaseModel):
+    unets: ListOrTuple(Union[UnetConfig, Unet3DConfig, NullUnetConfig])
+    image_sizes: ListOrTuple(int)
+    video: bool = False
+    timesteps: SingleOrList(int) = 1000
+    noise_schedules: SingleOrList(NoiseSchedule) = 'cosine'
+    text_encoder_name: str = DEFAULT_T5_NAME
+    channels: int = 3
+    loss_type: str = 'l2'
+    cond_drop_prob: float = 0.5
+
+    @model_validator(mode='after')
+    def check_image_sizes(self):
+        if len(self.image_sizes) != len(self.unets):
+            raise ValueError(
+                f'image sizes length {len(self.image_sizes)} must match the '
+                f'number of unets {len(self.unets)}')
+        return self
+
+    def create(self):
+        from imagen_tpu.diffusion.imagen import Imagen
+        decoder_kwargs = self.model_dump()
+        unets_kwargs = decoder_kwargs.pop('unets')
+        is_video = decoder_kwargs.pop('video', False)
+
+        unets = _build_unets(self.unets, unets_kwargs, is_video)
+
+        imagen = Imagen(tuple(unets), **_tuplify(decoder_kwargs))
+        imagen._config = self.model_dump().copy()
+        return imagen
+
+
+class ElucidatedImagenConfig(AllowExtraBaseModel):
+    unets: ListOrTuple(Union[UnetConfig, Unet3DConfig, NullUnetConfig])
+    image_sizes: ListOrTuple(int)
+    video: bool = False
+    text_encoder_name: str = DEFAULT_T5_NAME
+    channels: int = 3
+    cond_drop_prob: float = 0.5
+    num_sample_steps: SingleOrList(int) = 32
+    sigma_min: SingleOrList(float) = 0.002
+    sigma_max: SingleOrList(float) = 80
+    sigma_data: SingleOrList(float) = 0.5
+    rho: SingleOrList(float) = 7
+    P_mean: SingleOrList(float) = -1.2
+    P_std: SingleOrList(float) = 1.2
+    S_churn: SingleOrList(float) = 80
+    S_tmin: SingleOrList(float) = 0.05
+    S_tmax: SingleOrList(float) = 50
+    S_noise: SingleOrList(float) = 1.003
+
+    @model_validator(mode='after')
+    def check_image_sizes(self):
+        if len(self.image_sizes) != len(self.unets):
+            raise ValueError(
+                f'image sizes length {len(self.image_sizes)} must match the '
+                f'number of unets {len(self.unets)}')
+        return self
+
+    def create(self):
+        from imagen_tpu.diffusion.elucidated import ElucidatedImagen
+        decoder_kwargs = self.model_dump()
+        unets_kwargs = decoder_kwargs.pop('unets')
+        is_video = decoder_kwargs.pop('video', False)
+
+        unets = _build_unets(self.unets, unets_kwargs, is_video)
+
+        imagen = ElucidatedImagen(tuple(unets), **_tuplify(decoder_kwargs))
+        imagen._config = self.model_dump().copy()
+        return imagen
+
+
+class ImagenTrainerConfig(AllowExtraBaseModel):
+    imagen: dict
+    elucidated: bool = False
+    video: bool = False
+    use_ema: bool = True
+    lr: SingleOrList(float) = 1e-4
+    eps: SingleOrList(float) = 1e-8
+    beta1: float = 0.9
+    beta2: float = 0.99
+    max_grad_norm: Optional[float] = None
+    group_wd_params: bool = True
+    warmup_steps: SingleOrList(Optional[int]) = None
+    cosine_decay_max_steps: SingleOrList(Optional[int]) = None
+
+    def create(self):
+        from imagen_tpu.trainer import ImagenTrainer
+        trainer_kwargs = self.model_dump()
+
+        imagen_config = trainer_kwargs.pop('imagen')
+        elucidated = trainer_kwargs.pop('elucidated')
+        video = trainer_kwargs.pop('video')
+
+        imagen_config_klass = ElucidatedImagenConfig if elucidated else ImagenConfig
+        imagen = imagen_config_klass(**{**imagen_config, 'video': video}).create()
+
+        return ImagenTrainer(imagen, **trainer_kwargs)

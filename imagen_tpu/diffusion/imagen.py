@@ -71,8 +71,11 @@ def unet_forward_with_cond_scale(unet, variables, x, time, *, cond_scale=1.,
 
     Reference imagen_pytorch.py:1510-1522. Both branches are static graphs
     (cond_drop_prob 0 / 1), so inside a scanned sampler this is two fused unet calls.
+    In training (EDM preconditioned forward) a nonzero cond_drop_prob rides through.
     """
-    logits = unet.apply(variables, x, time, cond_drop_prob=0., rngs=rngs, **kwargs)
+    cond_drop_prob = kwargs.pop('cond_drop_prob', 0.)
+    logits = unet.apply(variables, x, time, cond_drop_prob=cond_drop_prob,
+                        rngs=rngs, **kwargs)
 
     if cond_scale == 1:
         return logits

@@ -1,0 +1,155 @@
+"""Trainer tests following the reference's idiom (test_trainer.py:7-53): tiny dims,
+mock T5 embeddings, step-count assertions — plus checkpoint roundtrip and EMA."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imagen_tpu.configs import ImagenConfig
+from imagen_tpu.diffusion.imagen import Imagen
+from imagen_tpu.models.unet2d import Unet
+from imagen_tpu.trainer import ImagenTrainer
+
+KEY = jax.random.PRNGKey(0)
+
+TINY_UNET = dict(
+    dim=8,
+    dim_mults=(1, 2),
+    text_embed_dim=16,
+    cond_dim=8,
+    attn_dim_head=4,
+    attn_heads=2,
+    attn_pool_num_latents=2,
+    max_text_len=8,
+    layer_attns=False,
+    layer_cross_attns=(False, True),
+)
+
+
+class MockDataset:
+    """(image, text_embed) tuples like the reference test (test_trainer.py:28-40)."""
+
+    def __len__(self):
+        return 16
+
+    def __getitem__(self, idx):
+        return (np.zeros((16, 16, 3), dtype=np.float32),
+                np.zeros((6, 16), dtype=np.float32))
+
+
+def tiny_imagen(**kwargs):
+    return Imagen(
+        unets=(Unet(**TINY_UNET),),
+        image_sizes=(16,),
+        text_embed_dim=16,
+        timesteps=4,
+        cond_drop_prob=0.1,
+        **kwargs,
+    )
+
+
+def test_trainer_instantiation():
+    trainer = ImagenTrainer(imagen=tiny_imagen())
+    assert trainer.num_unets == 1
+
+
+def test_trainer_step():
+    trainer = ImagenTrainer(imagen=tiny_imagen())
+    trainer.add_train_dataset(MockDataset(), batch_size=8)
+    loss = trainer.train_step(unet_number=1)
+    assert isinstance(loss, float) and np.isfinite(loss)
+    assert trainer.num_steps_taken(unet_number=1) == 1
+
+
+def test_trainer_grad_accumulation():
+    trainer = ImagenTrainer(imagen=tiny_imagen())
+    trainer.add_train_dataset(MockDataset(), batch_size=8)
+    loss = trainer.train_step(unet_number=1, max_batch_size=4)
+    assert np.isfinite(loss)
+    assert trainer.num_steps_taken(1) == 1
+
+
+def test_trainer_forward_update_two_phase():
+    trainer = ImagenTrainer(imagen=tiny_imagen())
+    images = np.zeros((4, 16, 16, 3), dtype=np.float32)
+    embeds = np.zeros((4, 6, 16), dtype=np.float32)
+    loss = trainer.forward(images=images, text_embeds=embeds, unet_number=1)
+    assert np.isfinite(loss)
+    trainer.update(unet_number=1)
+    assert trainer.num_steps_taken(1) == 1
+
+
+def test_trainer_valid_step_and_split():
+    trainer = ImagenTrainer(imagen=tiny_imagen(), split_valid_from_train=True,
+                            split_valid_fraction=0.25)
+    trainer.add_train_dataset(MockDataset(), batch_size=4)
+    loss = trainer.train_step(unet_number=1)
+    vloss = trainer.valid_step(unet_number=1)
+    assert np.isfinite(loss) and np.isfinite(vloss)
+
+
+def test_trainer_ema_and_sample():
+    trainer = ImagenTrainer(imagen=tiny_imagen(), ema_update_after_step=0,
+                            ema_update_every=1)
+    trainer.add_train_dataset(MockDataset(), batch_size=8)
+    for _ in range(3):
+        trainer.train_step(unet_number=1)
+
+    embeds = jnp.zeros((2, 6, 16))
+    out = trainer.sample(text_embeds=embeds, use_tqdm=False)
+    assert out.shape == (2, 16, 16, 3)
+
+
+def test_trainer_checkpoint_roundtrip(tmp_path):
+    config = ImagenConfig(
+        unets=[dict(**TINY_UNET)],
+        image_sizes=[16],
+        timesteps=4,
+        cond_drop_prob=0.1,
+        text_embed_dim=16,
+    )
+    trainer = ImagenTrainer(imagen=config.create())
+    trainer.add_train_dataset(MockDataset(), batch_size=8)
+    trainer.train_step(unet_number=1)
+
+    path = str(tmp_path / 'ckpt.ckpt')
+    trainer.save(path)
+    assert os.path.exists(path)
+
+    trainer2 = ImagenTrainer(imagen=config.create())
+    trainer2.load(path)
+    assert trainer2.num_steps_taken(1) == 1
+    # params should match bit-exactly
+    a = jax.tree_util.tree_leaves(trainer.params[0])
+    b = jax.tree_util.tree_leaves(trainer2.params[0])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # self-describing rehydration (reference utils.py:15-61)
+    from imagen_tpu.utils.load import load_imagen_from_checkpoint
+    imagen2, params2 = load_imagen_from_checkpoint(path)
+    assert imagen2.num_unets == 1
+
+
+def test_trainer_checkpoint_folder_rotation(tmp_path):
+    trainer = ImagenTrainer(
+        imagen=tiny_imagen(),
+        checkpoint_path=str(tmp_path / 'ckpts'),
+        checkpoint_every=1,
+        max_checkpoints_keep=2,
+    )
+    trainer.add_train_dataset(MockDataset(), batch_size=8)
+    for _ in range(4):
+        trainer.train_step(unet_number=1)
+    ckpts = trainer.all_checkpoints_sorted
+    assert len(ckpts) == 2
+    assert int(str(ckpts[0]).split('.')[-2]) == 4
+
+
+def test_trainer_lr_schedule():
+    trainer = ImagenTrainer(imagen=tiny_imagen(), lr=1e-3, warmup_steps=10,
+                            cosine_decay_max_steps=100)
+    lr0 = trainer.get_lr(1)
+    assert lr0 < 1e-3  # warming up
