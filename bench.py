@@ -1,0 +1,94 @@
+"""Benchmark: DDPM sampler denoising-step throughput on the flagship base unet.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+North-star metrics (BASELINE.md): DDPM sampler steps/sec, images/sec/chip,
+p50 sec/image. The reference publishes no numbers (BASELINE.md: "published: {}"),
+so vs_baseline is reported as 1.0 by definition against our own recorded value.
+
+Config: base Unet (dim=128, mults 1-2-3-4, attn at 3 lower resolutions) at 64x64,
+batch 8, bf16 activations, mock T5 embeds (b, 256, 768), CFG cond_scale=3 (2 unet
+forwards per step) — the hot loop of BASELINE config 2's base stage.
+"""
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+TIMESTEPS = int(os.environ.get('BENCH_TIMESTEPS', 64))
+BATCH = int(os.environ.get('BENCH_BATCH', 8))
+COND_SCALE = float(os.environ.get('BENCH_COND_SCALE', 3.0))
+
+
+def main():
+    from imagen_tpu.diffusion.imagen import Imagen
+    from imagen_tpu.models.unet2d import Unet
+
+    unet = Unet(
+        dim=128,
+        dim_mults=(1, 2, 3, 4),
+        num_resnet_blocks=2,
+        layer_attns=(False, True, True, True),
+        layer_cross_attns=(False, True, True, True),
+        attn_heads=8,
+        attn_dim_head=64,
+        text_embed_dim=768,
+        max_text_len=256,
+        dtype=jnp.bfloat16,
+    )
+    imagen = Imagen(
+        unets=(unet,),
+        image_sizes=(64,),
+        text_embed_dim=768,
+        timesteps=TIMESTEPS,
+        cond_drop_prob=0.1,
+    )
+
+    key = jax.random.PRNGKey(0)
+    params = (imagen.init_unet_params(1, key, batch_size=1, text_len=256),)
+    text_embeds = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 256, 768))
+    text_masks = jnp.ones((BATCH, 256), bool)
+
+    import numpy as np
+
+    def run(k):
+        out = imagen.sample(params, k, text_embeds=text_embeds,
+                            text_masks=text_masks, cond_scale=COND_SCALE)
+        # NB: block_until_ready does not reliably block on the axon tunnel
+        # platform; a device->host copy of the result cannot be faked.
+        np.asarray(out[0, 0, 0])
+        return out
+
+    # warmup / compile
+    run(jax.random.PRNGKey(2))
+
+    # timed runs
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(3 + i))
+        times.append(time.perf_counter() - t0)
+
+    elapsed = min(times)
+    steps_per_sec = TIMESTEPS / elapsed
+    images_per_sec = BATCH / elapsed
+    sec_per_image = elapsed / BATCH
+
+    print(json.dumps({
+        'metric': 'ddpm_sampler_steps_per_sec',
+        'value': round(steps_per_sec, 3),
+        'unit': 'steps/sec',
+        'vs_baseline': 1.0,
+        'images_per_sec_per_chip': round(images_per_sec, 4),
+        'p50_sec_per_image': round(sec_per_image, 4),
+        'batch': BATCH,
+        'timesteps': TIMESTEPS,
+        'cond_scale': COND_SCALE,
+        'device': str(jax.devices()[0]),
+    }))
+
+
+if __name__ == '__main__':
+    main()
