@@ -211,7 +211,13 @@ class Imagen:
             (gamma if use else None)
             for use, gamma in zip(min_snr_loss_weight, min_snr_gamma))
 
-        self.resize_to = functools.partial(resize_image_to, method=self.resize_mode)
+        if self.is_video:
+            from imagen_tpu.models.video_blocks import resize_video_to
+            self.resize_to = functools.partial(
+                resize_video_to, method=self.resize_mode)
+        else:
+            self.resize_to = functools.partial(
+                resize_image_to, method=self.resize_mode)
 
         self._stage_sample_cache = {}
 
@@ -221,8 +227,20 @@ class Imagen:
         assert 0 < unet_number <= self.num_unets
         return self.unets[unet_number - 1]
 
+    def _calc_all_frame_dims(self, frames):
+        """Per-stage frame counts from temporal downsample factors;
+        reference imagen_pytorch.py:170-185 (calc_all_frame_dims)."""
+        if not exists(frames):
+            return (None,) * self.num_unets
+        dims = []
+        for divisor in self.temporal_downsample_factor:
+            assert frames % divisor == 0, \
+                f'frames {frames} not divisible by temporal factor {divisor}'
+            dims.append(frames // divisor)
+        return tuple(dims)
+
     def init_unet_params(self, unet_number, key, *, batch_size=1, text_len=None,
-                         image_size=None):
+                         image_size=None, video_frames=None):
         """Initialize one unet's variables with correctly-shaped dummy inputs."""
         unet = self.get_unet(unet_number)
         if isinstance(unet, NullUnet):
@@ -230,7 +248,11 @@ class Imagen:
 
         index = unet_number - 1
         size = default(image_size, self.image_sizes[index])
-        x = jnp.zeros((batch_size, size, size, self.channels))
+        if getattr(unet, 'is_video_unet', False):
+            frames = default(video_frames, unet.total_temporal_divisor)
+            x = jnp.zeros((batch_size, frames, size, size, self.channels))
+        else:
+            x = jnp.zeros((batch_size, size, size, self.channels))
         time = jnp.zeros((batch_size,))
         kwargs = {}
         if unet.lowres_cond:
@@ -315,7 +337,9 @@ class Imagen:
 
     def _make_stage_sampler(self, unet_index, *, cond_scale, resample_times,
                             has_inpainting, skip_steps, has_init_images, has_text,
-                            has_cond_images):
+                            has_cond_images, video_frames=None,
+                            has_cond_video_frames=False,
+                            has_post_cond_video_frames=False):
         """Build the jitted sampler for one cascade stage.
 
         The entire reference loop (imagen_pytorch.py:2168-2289) becomes one
@@ -329,9 +353,13 @@ class Imagen:
 
         def stage_sample(variables, key, shape_b, shape_hw, text_embeds, text_mask,
                          cond_images, lowres_cond_img, lowres_noise_times,
-                         inpaint_images, inpaint_masks, init_images):
+                         inpaint_images, inpaint_masks, init_images,
+                         cond_video_frames=None, post_cond_video_frames=None):
             batch = shape_b
-            shape = (batch, shape_hw, shape_hw, self.channels)
+            if exists(video_frames):
+                shape = (batch, video_frames, shape_hw, shape_hw, self.channels)
+            else:
+                shape = (batch, shape_hw, shape_hw, self.channels)
 
             key, init_key = jax.random.split(key)
             img = jax.random.normal(init_key, shape)
@@ -348,6 +376,10 @@ class Imagen:
                 unet_kwargs.update(text_embeds=text_embeds, text_mask=text_mask)
             if has_cond_images:
                 unet_kwargs.update(cond_images=cond_images)
+            if has_cond_video_frames:
+                unet_kwargs.update(cond_video_frames=cond_video_frames)
+            if has_post_cond_video_frames:
+                unet_kwargs.update(post_cond_video_frames=post_cond_video_frames)
             if lowres_cond:
                 unet_kwargs.update(
                     lowres_cond_img=lowres_cond_img,
@@ -421,7 +453,11 @@ class Imagen:
         texts=None,
         text_masks=None,
         text_embeds=None,
+        video_frames=None,
         cond_images=None,
+        cond_video_frames=None,
+        post_cond_video_frames=None,
+        inpaint_videos=None,
         inpaint_images=None,
         inpaint_masks=None,
         inpaint_resample_times=5,
@@ -461,6 +497,7 @@ class Imagen:
             assert not exists(text_embeds), \
                 'unconditional imagen cannot take text embeddings'
 
+        inpaint_images = default(inpaint_videos, inpaint_images)
         has_inpainting = exists(inpaint_images) and exists(inpaint_masks)
         assert not (exists(inpaint_images) ^ exists(inpaint_masks))
         resample_times = inpaint_resample_times if has_inpainting else 1
@@ -477,13 +514,30 @@ class Imagen:
         init_images = [maybe(self.normalize_img)(im) for im in init_images]
         skip_steps = cast_tuple(default(skip_steps, 0), num_unets)
 
+        # video frame dims per stage (reference :2381-2386)
+        if self.is_video and exists(inpaint_images):
+            video_frames = inpaint_images.shape[1]
+            if inpaint_masks.ndim == 3:  # b h w -> b f h w
+                inpaint_masks = repeat(
+                    inpaint_masks, 'b h w -> b f h w', f=video_frames)
+            assert inpaint_masks.shape[1] == video_frames
+
+        assert not (self.is_video and not exists(video_frames)), \
+            'video_frames must be passed for a video imagen'
+        all_frame_dims = self._calc_all_frame_dims(video_frames)
+
         img = None
         if start_at_unet_number > 1:
             assert start_at_unet_number <= num_unets
             assert exists(start_image_or_video), \
                 'starting image must be supplied if only doing upscaling'
             prev_image_size = self.image_sizes[start_at_unet_number - 2]
-            img = self.resize_to(start_image_or_video, prev_image_size)
+            if self.is_video:
+                img = self.resize_to(
+                    start_image_or_video, prev_image_size,
+                    target_frames=all_frame_dims[start_at_unet_number - 2])
+            else:
+                img = self.resize_to(start_image_or_video, prev_image_size)
 
         outputs = []
         for unet_number in range(1, num_unets + 1):
@@ -495,15 +549,31 @@ class Imagen:
 
             image_size = self.image_sizes[index]
             variables = params[index]
+            frame_dim = all_frame_dims[index] if self.is_video else None
+            resize_kwargs = (
+                dict(target_frames=frame_dim) if self.is_video else {})
 
             key, stage_key, lr_key = jax.random.split(key, 3)
+
+            # temporally downsample video prompt frames for this stage (reference :2431-2436)
+            stage_cond_video_frames = cond_video_frames
+            stage_post_cond_video_frames = post_cond_video_frames
+            if self.is_video and self.resize_cond_video_frames:
+                from imagen_tpu.models.video_blocks import scale_video_time
+                ds = self.temporal_downsample_factor[index]
+                stage_cond_video_frames = maybe(
+                    functools.partial(scale_video_time, downsample_scale=ds)
+                )(stage_cond_video_frames)
+                stage_post_cond_video_frames = maybe(
+                    functools.partial(scale_video_time, downsample_scale=ds)
+                )(stage_post_cond_video_frames)
 
             # lowres conditioning from previous stage output (reference :2443-2449)
             lowres_cond_img = lowres_noise_times = None
             if unet.lowres_cond:
                 lowres_noise_times = self.lowres_noise_schedule_.get_times(
                     batch_size, lowres_sample_noise_level)
-                lowres_cond_img = self.resize_to(img, image_size)
+                lowres_cond_img = self.resize_to(img, image_size, **resize_kwargs)
                 lowres_cond_img = self.normalize_img(lowres_cond_img)
                 lowres_cond_img, *_ = self.lowres_noise_schedule_.q_sample(
                     lowres_cond_img, lowres_noise_times,
@@ -511,19 +581,22 @@ class Imagen:
 
             unet_init_images = init_images[index]
             if exists(unet_init_images):
-                unet_init_images = self.resize_to(unet_init_images, image_size)
+                unet_init_images = self.resize_to(
+                    unet_init_images, image_size, **resize_kwargs)
 
             stage_inpaint_images = stage_inpaint_masks = None
             if has_inpainting:
                 stage_inpaint_images = self.normalize_img(
-                    self.resize_to(inpaint_images, image_size))
+                    self.resize_to(inpaint_images, image_size, **resize_kwargs))
                 stage_inpaint_masks = self.resize_to(
-                    inpaint_masks[..., None].astype(jnp.float32), image_size
-                ).astype(bool)
+                    inpaint_masks[..., None].astype(jnp.float32), image_size,
+                    **resize_kwargs).astype(bool)
 
             cache_key = (index, cond_scale[index], resample_times, has_inpainting,
                          skip_steps[index], exists(unet_init_images),
-                         not self.unconditional, exists(cond_images))
+                         not self.unconditional, exists(cond_images), frame_dim,
+                         exists(stage_cond_video_frames),
+                         exists(stage_post_cond_video_frames))
             if cache_key not in self._stage_sample_cache:
                 self._stage_sample_cache[cache_key] = self._make_stage_sampler(
                     index, cond_scale=cond_scale[index],
@@ -531,13 +604,17 @@ class Imagen:
                     skip_steps=skip_steps[index],
                     has_init_images=exists(unet_init_images),
                     has_text=not self.unconditional,
-                    has_cond_images=exists(cond_images))
+                    has_cond_images=exists(cond_images),
+                    video_frames=frame_dim,
+                    has_cond_video_frames=exists(stage_cond_video_frames),
+                    has_post_cond_video_frames=exists(stage_post_cond_video_frames))
             stage_fn = self._stage_sample_cache[cache_key]
 
             img = stage_fn(
                 variables, stage_key, batch_size, image_size, text_embeds, text_masks,
                 cond_images, lowres_cond_img, lowres_noise_times,
-                stage_inpaint_images, stage_inpaint_masks, unet_init_images)
+                stage_inpaint_images, stage_inpaint_masks, unet_init_images,
+                stage_cond_video_frames, stage_post_cond_video_frames)
 
             outputs.append(img)
 
@@ -551,6 +628,9 @@ class Imagen:
 
         if not return_all_unet_outputs:
             outputs = outputs[-1:]
+
+        assert not self.is_video, \
+            'converting sampled video tensors to video files is not supported yet'
 
         from PIL import Image
         pil_images = [
@@ -573,15 +653,30 @@ class Imagen:
         x_start = self.normalize_img(x_start)
         lowres_cond_img = maybe(self.normalize_img)(lowres_cond_img)
 
-        # paired random crop for SR stages (reference :2532-2546)
+        # paired random crop for SR stages (reference :2532-2546);
+        # video folds frames into batch (per-frame crops, matching the reference's
+        # kornia-on-rearranged-frames behavior :2535-2537)
         if exists(random_crop_size):
             key, crop_key = jax.random.split(key)
+            is_video_x = x_start.ndim == 5
+            frames = x_start.shape[1] if is_video_x else None
+
+            def fold(t):
+                return (t.reshape(-1, *t.shape[2:])
+                        if is_video_x and exists(t) else t)
+
+            def unfold(t):
+                return (t.reshape(-1, frames, *t.shape[1:])
+                        if is_video_x and exists(t) else t)
+
+            tensors = [fold(x_start), fold(noise)]
             if exists(lowres_cond_img):
-                x_start, lowres_cond_img, noise = _per_sample_random_crop(
-                    crop_key, (x_start, lowres_cond_img, noise), random_crop_size)
-            else:
-                x_start, noise = _per_sample_random_crop(
-                    crop_key, (x_start, noise), random_crop_size)
+                tensors.append(fold(lowres_cond_img))
+            cropped = _per_sample_random_crop(crop_key, tuple(tensors),
+                                              random_crop_size)
+            x_start, noise = unfold(cropped[0]), unfold(cropped[1])
+            if exists(lowres_cond_img):
+                lowres_cond_img = unfold(cropped[2])
 
         x_noisy, log_snr, alpha, sigma = noise_scheduler.q_sample(
             x_start, times, noise)
@@ -672,10 +767,15 @@ class Imagen:
         variables = params[unet_index] if isinstance(params, (tuple, list)) else params
         assert not isinstance(unet, NullUnet), 'NullUnet cannot be trained'
 
+        # still images into a video model (reference :2644-2646)
+        if self.is_video and images.ndim == 4:
+            images = images[:, None]  # b h w c -> b 1 h w c
+            kwargs['ignore_time'] = True
+
         images = cast_uint8_images_to_float(images)
         cond_images = maybe(cast_uint8_images_to_float)(cond_images)
 
-        assert images.shape[-2] == images.shape[-3], 'images must be square (NHWC)'
+        assert images.shape[-2] == images.shape[-3], 'images must be square'
         assert images.shape[-1] == self.channels
 
         noise_scheduler = self.noise_schedulers[unet_index]
@@ -688,6 +788,29 @@ class Imagen:
         b = images.shape[0]
         h = images.shape[-2]
         assert h >= target_image_size
+
+        # video frame bookkeeping (reference :2671-2678)
+        is_video_input = self.is_video and images.ndim == 5
+        ignore_time = kwargs.get('ignore_time', False)
+        frames = images.shape[1] if is_video_input else None
+        if is_video_input and not ignore_time:
+            all_frame_dims = self._calc_all_frame_dims(frames)
+            target_frame_size = all_frame_dims[unet_index]
+            prev_frame_size = (all_frame_dims[unet_index - 1]
+                               if unet_index > 0 else None)
+        else:
+            target_frame_size = prev_frame_size = None
+
+        def frames_kwargs(fr):
+            return dict(target_frames=fr) if (self.is_video and exists(fr)) else {}
+
+        # temporally downsample video prompt frames (reference :2704-2709)
+        if self.is_video and self.resize_cond_video_frames:
+            from imagen_tpu.models.video_blocks import scale_video_time
+            ds = self.temporal_downsample_factor[unet_index]
+            for k in ('cond_video_frames', 'post_cond_video_frames'):
+                if k in kwargs and exists(kwargs[k]):
+                    kwargs[k] = scale_video_time(kwargs[k], downsample_scale=ds)
 
         key, tk, ek, ak = jax.random.split(key, 4)
         times = noise_scheduler.sample_random_times(tk, b)
@@ -710,10 +833,12 @@ class Imagen:
         lowres_cond_img = lowres_aug_times = None
         if exists(prev_image_size):
             lowres_cond_img = self.resize_to(
-                images, prev_image_size, clamp_range=self.input_image_range)
+                images, prev_image_size, clamp_range=self.input_image_range,
+                **frames_kwargs(prev_frame_size))
             lowres_cond_img = self.resize_to(
                 lowres_cond_img, target_image_size,
-                clamp_range=self.input_image_range)
+                clamp_range=self.input_image_range,
+                **frames_kwargs(target_frame_size))
 
             if self.per_sample_random_aug_noise_level:
                 lowres_aug_times = self.lowres_noise_schedule_.sample_random_times(ak, b)
@@ -721,7 +846,8 @@ class Imagen:
                 lowres_aug_time = self.lowres_noise_schedule_.sample_random_times(ak, 1)
                 lowres_aug_times = repeat(lowres_aug_time, '1 -> b', b=b)
 
-        images = self.resize_to(images, target_image_size)
+        images = self.resize_to(images, target_image_size,
+                                **frames_kwargs(target_frame_size))
 
         return self.p_losses(
             unet, variables, images, times, ek, noise_scheduler=noise_scheduler,
