@@ -150,7 +150,13 @@ class ElucidatedImagen:
         self.hparams = [Hparams(*unet_hp) for unet_hp in zip(*hparams)]
 
         import functools
-        self.resize_to = functools.partial(resize_image_to, method=self.resize_mode)
+        if self.is_video:
+            from imagen_tpu.models.video_blocks import resize_video_to
+            self.resize_to = functools.partial(
+                resize_video_to, method=self.resize_mode)
+        else:
+            self.resize_to = functools.partial(
+                resize_image_to, method=self.resize_mode)
 
         self._stage_sample_cache = {}
 
@@ -159,6 +165,7 @@ class ElucidatedImagen:
     init_unet_params = Imagen.init_unet_params
     init_params = Imagen.init_params
     threshold_x_start = Imagen.threshold_x_start
+    _calc_all_frame_dims = Imagen._calc_all_frame_dims
 
     # --- preconditioning -----------------------------------------------------------------
 
@@ -198,7 +205,9 @@ class ElucidatedImagen:
 
     def _make_stage_sampler(self, unet_index, *, cond_scale, resample_times,
                             has_inpainting, skip_steps, has_init_images, has_text,
-                            has_cond_images, sigma_min, sigma_max, clamp=True):
+                            has_cond_images, sigma_min, sigma_max, clamp=True,
+                            video_frames=None, has_cond_video_frames=False,
+                            has_post_cond_video_frames=False):
         unet = self.unets[unet_index]
         hp = self.hparams[unet_index]
         dynamic_threshold = self.dynamic_thresholding[unet_index]
@@ -209,9 +218,13 @@ class ElucidatedImagen:
 
         def stage_sample(variables, key, shape_b, shape_hw, text_embeds, text_mask,
                          cond_images, lowres_cond_img, lowres_noise_times,
-                         inpaint_images, inpaint_masks, init_images):
+                         inpaint_images, inpaint_masks, init_images,
+                         cond_video_frames=None, post_cond_video_frames=None):
             batch = shape_b
-            shape = (batch, shape_hw, shape_hw, self.channels)
+            if exists(video_frames):
+                shape = (batch, video_frames, shape_hw, shape_hw, self.channels)
+            else:
+                shape = (batch, shape_hw, shape_hw, self.channels)
 
             sigmas = self.sample_schedule(
                 hp.num_sample_steps, hp.rho, sigma_min, sigma_max)
@@ -239,6 +252,10 @@ class ElucidatedImagen:
                 unet_kwargs.update(text_embeds=text_embeds, text_mask=text_mask)
             if has_cond_images:
                 unet_kwargs.update(cond_images=cond_images)
+            if has_cond_video_frames:
+                unet_kwargs.update(cond_video_frames=cond_video_frames)
+            if has_post_cond_video_frames:
+                unet_kwargs.update(post_cond_video_frames=post_cond_video_frames)
             if lowres_cond:
                 unet_kwargs.update(
                     lowres_cond_img=lowres_cond_img,
@@ -338,6 +355,9 @@ class ElucidatedImagen:
         text_masks=None,
         text_embeds=None,
         cond_images=None,
+        cond_video_frames=None,
+        post_cond_video_frames=None,
+        inpaint_videos=None,
         inpaint_images=None,
         inpaint_masks=None,
         inpaint_resample_times=5,
@@ -345,6 +365,7 @@ class ElucidatedImagen:
         skip_steps=None,
         sigma_min=None,
         sigma_max=None,
+        video_frames=None,
         batch_size=1,
         cond_scale=1.,
         lowres_sample_noise_level=None,
@@ -372,6 +393,7 @@ class ElucidatedImagen:
         else:
             assert not exists(text_embeds)
 
+        inpaint_images = default(inpaint_videos, inpaint_images)
         has_inpainting = exists(inpaint_images) and exists(inpaint_masks)
         assert not (exists(inpaint_images) ^ exists(inpaint_masks))
         resample_times = inpaint_resample_times if has_inpainting else 1
@@ -390,12 +412,28 @@ class ElucidatedImagen:
         sigma_min = cast_tuple(sigma_min, num_unets)
         sigma_max = cast_tuple(sigma_max, num_unets)
 
+        if self.is_video and exists(inpaint_images):
+            video_frames = inpaint_images.shape[1]
+            if inpaint_masks.ndim == 3:
+                inpaint_masks = jnp.repeat(
+                    inpaint_masks[:, None], video_frames, axis=1)
+            assert inpaint_masks.shape[1] == video_frames
+
+        assert not (self.is_video and not exists(video_frames)), \
+            'video_frames must be passed for a video imagen'
+        all_frame_dims = self._calc_all_frame_dims(video_frames)
+
         img = None
         if start_at_unet_number > 1:
             assert start_at_unet_number <= num_unets
             assert exists(start_image_or_video)
             prev_image_size = self.image_sizes[start_at_unet_number - 2]
-            img = self.resize_to(start_image_or_video, prev_image_size)
+            if self.is_video:
+                img = self.resize_to(
+                    start_image_or_video, prev_image_size,
+                    target_frames=all_frame_dims[start_at_unet_number - 2])
+            else:
+                img = self.resize_to(start_image_or_video, prev_image_size)
 
         outputs = []
         for unet_number in range(1, num_unets + 1):
@@ -407,14 +445,30 @@ class ElucidatedImagen:
 
             image_size = self.image_sizes[index]
             variables = params[index]
+            frame_dim = all_frame_dims[index] if self.is_video else None
+            resize_kwargs = (
+                dict(target_frames=frame_dim) if self.is_video else {})
 
             key, stage_key, lr_key = jax.random.split(key, 3)
+
+            stage_cond_video_frames = cond_video_frames
+            stage_post_cond_video_frames = post_cond_video_frames
+            if self.is_video and self.resize_cond_video_frames:
+                import functools
+                from imagen_tpu.models.video_blocks import scale_video_time
+                ds = self.temporal_downsample_factor[index]
+                stage_cond_video_frames = maybe(
+                    functools.partial(scale_video_time, downsample_scale=ds)
+                )(stage_cond_video_frames)
+                stage_post_cond_video_frames = maybe(
+                    functools.partial(scale_video_time, downsample_scale=ds)
+                )(stage_post_cond_video_frames)
 
             lowres_cond_img = lowres_noise_times = None
             if unet.lowres_cond:
                 lowres_noise_times = self.lowres_noise_schedule_.get_times(
                     batch_size, lowres_sample_noise_level)
-                lowres_cond_img = self.resize_to(img, image_size)
+                lowres_cond_img = self.resize_to(img, image_size, **resize_kwargs)
                 lowres_cond_img = self.normalize_img(lowres_cond_img)
                 lowres_cond_img, *_ = self.lowres_noise_schedule_.q_sample(
                     lowres_cond_img, lowres_noise_times,
@@ -422,20 +476,23 @@ class ElucidatedImagen:
 
             unet_init_images = init_images[index]
             if exists(unet_init_images):
-                unet_init_images = self.resize_to(unet_init_images, image_size)
+                unet_init_images = self.resize_to(
+                    unet_init_images, image_size, **resize_kwargs)
 
             stage_inpaint_images = stage_inpaint_masks = None
             if has_inpainting:
                 stage_inpaint_images = self.normalize_img(
-                    self.resize_to(inpaint_images, image_size))
+                    self.resize_to(inpaint_images, image_size, **resize_kwargs))
                 stage_inpaint_masks = self.resize_to(
-                    inpaint_masks[..., None].astype(jnp.float32), image_size
-                ).astype(bool)
+                    inpaint_masks[..., None].astype(jnp.float32), image_size,
+                    **resize_kwargs).astype(bool)
 
             cache_key = (index, cond_scale[index], resample_times, has_inpainting,
                          skip_steps[index], exists(unet_init_images),
                          not self.unconditional, exists(cond_images),
-                         sigma_min[index], sigma_max[index])
+                         sigma_min[index], sigma_max[index], frame_dim,
+                         exists(stage_cond_video_frames),
+                         exists(stage_post_cond_video_frames))
             if cache_key not in self._stage_sample_cache:
                 self._stage_sample_cache[cache_key] = self._make_stage_sampler(
                     index, cond_scale=cond_scale[index],
@@ -444,13 +501,17 @@ class ElucidatedImagen:
                     has_init_images=exists(unet_init_images),
                     has_text=not self.unconditional,
                     has_cond_images=exists(cond_images),
-                    sigma_min=sigma_min[index], sigma_max=sigma_max[index])
+                    sigma_min=sigma_min[index], sigma_max=sigma_max[index],
+                    video_frames=frame_dim,
+                    has_cond_video_frames=exists(stage_cond_video_frames),
+                    has_post_cond_video_frames=exists(stage_post_cond_video_frames))
             stage_fn = self._stage_sample_cache[cache_key]
 
             img = stage_fn(
                 variables, stage_key, batch_size, image_size, text_embeds, text_masks,
                 cond_images, lowres_cond_img, lowres_noise_times,
-                stage_inpaint_images, stage_inpaint_masks, unet_init_images)
+                stage_inpaint_images, stage_inpaint_masks, unet_init_images,
+                stage_cond_video_frames, stage_post_cond_video_frames)
 
             outputs.append(img)
 
@@ -464,6 +525,9 @@ class ElucidatedImagen:
 
         if not return_all_unet_outputs:
             outputs = outputs[-1:]
+
+        assert not self.is_video, \
+            'converting sampled video tensors to video files is not supported yet'
 
         from PIL import Image
         pil_images = [
@@ -488,6 +552,11 @@ class ElucidatedImagen:
         variables = params[unet_index] if isinstance(params, (tuple, list)) else params
         assert not isinstance(unet, NullUnet), 'NullUnet cannot be trained'
 
+        # still images into a video model (reference elucidated_imagen.py:772-774)
+        if self.is_video and images.ndim == 4:
+            images = images[:, None]
+            kwargs['ignore_time'] = True
+
         images = cast_uint8_images_to_float(images)
         cond_images = maybe(cast_uint8_images_to_float)(cond_images)
 
@@ -501,6 +570,27 @@ class ElucidatedImagen:
 
         batch_size = images.shape[0]
         assert images.shape[-2] >= target_image_size
+
+        is_video_input = self.is_video and images.ndim == 5
+        ignore_time = kwargs.get('ignore_time', False)
+        frames = images.shape[1] if is_video_input else None
+        if is_video_input and not ignore_time:
+            all_frame_dims = self._calc_all_frame_dims(frames)
+            target_frame_size = all_frame_dims[unet_index]
+            prev_frame_size = (all_frame_dims[unet_index - 1]
+                               if unet_index > 0 else None)
+        else:
+            target_frame_size = prev_frame_size = None
+
+        def frames_kwargs(fr):
+            return dict(target_frames=fr) if (self.is_video and exists(fr)) else {}
+
+        if self.is_video and self.resize_cond_video_frames:
+            from imagen_tpu.models.video_blocks import scale_video_time
+            ds = self.temporal_downsample_factor[unet_index]
+            for k in ('cond_video_frames', 'post_cond_video_frames'):
+                if k in kwargs and exists(kwargs[k]):
+                    kwargs[k] = scale_video_time(kwargs[k], downsample_scale=ds)
 
         if exists(texts) and not exists(text_embeds) and not self.unconditional:
             from imagen_tpu.models.t5 import t5_encode_text
@@ -522,10 +612,12 @@ class ElucidatedImagen:
         lowres_cond_img = lowres_aug_times = None
         if exists(prev_image_size):
             lowres_cond_img = self.resize_to(
-                images, prev_image_size, clamp_range=self.input_image_range)
+                images, prev_image_size, clamp_range=self.input_image_range,
+                **frames_kwargs(prev_frame_size))
             lowres_cond_img = self.resize_to(
                 lowres_cond_img, target_image_size,
-                clamp_range=self.input_image_range)
+                clamp_range=self.input_image_range,
+                **frames_kwargs(target_frame_size))
 
             if self.per_sample_random_aug_noise_level:
                 lowres_aug_times = self.lowres_noise_schedule_.sample_random_times(
@@ -534,17 +626,32 @@ class ElucidatedImagen:
                 lowres_aug_time = self.lowres_noise_schedule_.sample_random_times(ak, 1)
                 lowres_aug_times = repeat(lowres_aug_time, '1 -> b', b=batch_size)
 
-        images = self.resize_to(images, target_image_size)
+        images = self.resize_to(images, target_image_size,
+                                **frames_kwargs(target_frame_size))
 
         images = self.normalize_img(images)
         lowres_cond_img = maybe(self.normalize_img)(lowres_cond_img)
 
         if exists(random_crop_size):
+            is_video_x = images.ndim == 5
+            nframes = images.shape[1] if is_video_x else None
+
+            def fold(t):
+                return (t.reshape(-1, *t.shape[2:])
+                        if is_video_x and exists(t) else t)
+
+            def unfold(t):
+                return (t.reshape(-1, nframes, *t.shape[1:])
+                        if is_video_x and exists(t) else t)
+
             if exists(lowres_cond_img):
-                images, lowres_cond_img = _per_sample_random_crop(
-                    ck, (images, lowres_cond_img), random_crop_size)
+                cropped = _per_sample_random_crop(
+                    ck, (fold(images), fold(lowres_cond_img)), random_crop_size)
+                images, lowres_cond_img = unfold(cropped[0]), unfold(cropped[1])
             else:
-                (images,) = _per_sample_random_crop(ck, (images,), random_crop_size)
+                (cropped,) = _per_sample_random_crop(
+                    ck, (fold(images),), random_crop_size)
+                images = unfold(cropped)
 
         lowres_cond_img_noisy = None
         if exists(lowres_cond_img):
