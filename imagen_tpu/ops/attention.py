@@ -40,8 +40,18 @@ def _masked_softmax_fp32(sim, mask=None, null_tokens: int = 0):
 def multiquery_attention(q, k, v, *, scale, mask=None, attn_bias=None, null_tokens=0):
     """Multi-query attention: q is (b, h, i, d); k, v are (b, j, d).
 
-    Mirrors the einsum pair at reference imagen_pytorch.py:565,588.
+    Mirrors the einsum pair at reference imagen_pytorch.py:565,588. Long unmasked
+    flattened-pixel sequences route through the Pallas flash kernel
+    (imagen_tpu.ops.flash_attention) so the (i, j) similarity matrix never
+    materializes in HBM.
     """
+    from imagen_tpu.ops.flash_attention import (
+        flash_attention_available, flash_multiquery_attention)
+
+    if flash_attention_available(q.shape[-2], q.shape[-1],
+                                 exists(mask), exists(attn_bias)):
+        return flash_multiquery_attention(q, k, v, scale)
+
     sim = jnp.einsum('bhid,bjd->bhij', q, k) * scale
     if exists(attn_bias):
         sim = sim + attn_bias
