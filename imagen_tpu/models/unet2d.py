@@ -98,6 +98,7 @@ class Unet(nn.Module):
     resize_mode: str = 'nearest'
     combine_upsample_fmaps: bool = False    # unet-squared style upsample fmap combining
     pixel_shuffle_upsample: bool = True
+    remat: bool = False                     # rematerialize blocks (jax.checkpoint)
     dtype: Dtype = jnp.float32
 
     @property
@@ -144,6 +145,18 @@ class Unet(nn.Module):
         assert self.attn_heads > 1, 'you need more than 1 attention head'
         batch_size = x.shape[0]
         dtype = self.dtype
+
+        # rematerialization: trade FLOPs for activation memory (new capability;
+        # the reference relies on gradient-checkpoint-free training)
+        if self.remat:
+            ResnetBlockK = nn.remat(ResnetBlock)
+            TransformerBlockK = nn.remat(TransformerBlock)
+            LinearAttentionTransformerBlockK = nn.remat(
+                LinearAttentionTransformerBlock)
+        else:
+            ResnetBlockK = ResnetBlock
+            TransformerBlockK = TransformerBlock
+            LinearAttentionTransformerBlockK = LinearAttentionTransformerBlock
 
         num_layers = len(self.dim_mults)
         init_dim = default(self.init_dim, self.dim)
@@ -296,18 +309,18 @@ class Unet(nn.Module):
         # (:1367,:1683). We keep the kwarg for config parity and mirror that behavior.
         def transformer_for(layer_attn, layer_use_linear_attn, depth, name):
             if layer_attn:
-                return TransformerBlock(
+                return TransformerBlockK(
                     depth=depth, ff_mult=self.ff_mult, context_dim=cond_dim,
                     dtype=dtype, name=name, **attn_kwargs)
             if layer_use_linear_attn:
-                return LinearAttentionTransformerBlock(
+                return LinearAttentionTransformerBlockK(
                     depth=depth, ff_mult=self.ff_mult, context_dim=cond_dim,
                     dtype=dtype, name=name, **attn_kwargs)
             return None
 
         # initial resnet block for the memory-efficient variant (reference :1331)
         if self.memory_efficient:
-            x = ResnetBlock(
+            x = ResnetBlockK(
                 dim_out=init_dim, time_cond_dim=time_cond_dim,
                 use_gca=self.use_global_context_attn, dtype=dtype,
                 attn_dim_head=self.attn_dim_head, attn_heads=self.attn_heads,
@@ -329,14 +342,14 @@ class Unet(nn.Module):
                 current_dim = dim_in
             skip_dims.append(current_dim)
 
-            x = ResnetBlock(
+            x = ResnetBlockK(
                 dim_out=current_dim, cond_dim=layer_cond_dim, linear_attn=lin_cross,
                 time_cond_dim=time_cond_dim, dtype=dtype,
                 attn_dim_head=self.attn_dim_head, attn_heads=self.attn_heads,
                 name=f'down_{ind}_init_block')(x, time_emb=t, cond=c)
 
             for j in range(nblocks):
-                x = ResnetBlock(
+                x = ResnetBlockK(
                     dim_out=current_dim, time_cond_dim=time_cond_dim,
                     use_gca=self.use_global_context_attn, dtype=dtype,
                     attn_dim_head=self.attn_dim_head, attn_heads=self.attn_heads,
@@ -360,15 +373,15 @@ class Unet(nn.Module):
 
         # --- middle (reference :1378-1382, :1687-1692) -----------------------------------
         mid_dim = dims[-1]
-        x = ResnetBlock(
+        x = ResnetBlockK(
             dim_out=mid_dim, cond_dim=cond_dim, time_cond_dim=time_cond_dim,
             dtype=dtype, attn_dim_head=self.attn_dim_head, attn_heads=self.attn_heads,
             name='mid_block1')(x, time_emb=t, cond=c)
         if self.attend_at_middle:
-            x = TransformerBlock(
+            x = TransformerBlockK(
                 depth=self.layer_mid_attns_depth, dtype=dtype,
                 name='mid_attn', **attn_kwargs)(x)
-        x = ResnetBlock(
+        x = ResnetBlockK(
             dim_out=mid_dim, cond_dim=cond_dim, time_cond_dim=time_cond_dim,
             dtype=dtype, attn_dim_head=self.attn_dim_head, attn_heads=self.attn_heads,
             name='mid_block2')(x, time_emb=t, cond=c)
@@ -393,7 +406,7 @@ class Unet(nn.Module):
             upsample_fmap_dims.append(dim_out)
 
             x = add_skip(x)
-            x = ResnetBlock(
+            x = ResnetBlockK(
                 dim_out=dim_out, cond_dim=layer_cond_dim, linear_attn=lin_cross,
                 time_cond_dim=time_cond_dim, dtype=dtype,
                 attn_dim_head=self.attn_dim_head, attn_heads=self.attn_heads,
@@ -401,7 +414,7 @@ class Unet(nn.Module):
 
             for j in range(nblocks):
                 x = add_skip(x)
-                x = ResnetBlock(
+                x = ResnetBlockK(
                     dim_out=dim_out, time_cond_dim=time_cond_dim,
                     use_gca=self.use_global_context_attn, dtype=dtype,
                     attn_dim_head=self.attn_dim_head, attn_heads=self.attn_heads,
@@ -428,7 +441,7 @@ class Unet(nn.Module):
 
         # final resnet block (reference :1434, :1719-1721)
         if self.final_resnet_block:
-            x = ResnetBlock(
+            x = ResnetBlockK(
                 dim_out=self.dim, time_cond_dim=time_cond_dim, use_gca=True,
                 dtype=dtype, attn_dim_head=self.attn_dim_head,
                 attn_heads=self.attn_heads, name='final_res_block')(x, time_emb=t)

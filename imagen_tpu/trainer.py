@@ -216,6 +216,13 @@ class ImagenTrainer:
         self._step_fn_cache = {}
         self._pending_grads = None
 
+        from imagen_tpu.utils.profiling import StepTimer
+        self.step_timer = StepTimer()
+
+    def timings(self):
+        """Rolling train-step wall-time stats (p50/p90/steps-per-sec)."""
+        return self.step_timer.summary()
+
     # --- misc properties -----------------------------------------------------------------
 
     @property
@@ -508,14 +515,17 @@ class ImagenTrainer:
 
         self.rng, key = jax.random.split(self.rng)
         step_fn = self._get_step_fn('train', index, n_chunks)
+        self.step_timer.start()
         (self.params[index], self.opt_states[index], self.ema_params[index],
          new_step, loss) = step_fn(
             self.params[index], self.opt_states[index], self.ema_params[index],
             jnp.asarray(self.steps[index]), batch, key)
+        loss = float(loss)  # device sync
+        self.step_timer.stop()
         self.steps[index] += 1
 
         self._maybe_checkpoint()
-        return float(loss)
+        return loss
 
     def valid_step(self, *, unet_number=None, max_batch_size=None, **kwargs):
         """Loss on a validation batch (no grad); reference trainer.py:616-624."""
