@@ -166,6 +166,8 @@ class ElucidatedImagen:
     init_params = Imagen.init_params
     threshold_x_start = Imagen.threshold_x_start
     _calc_all_frame_dims = Imagen._calc_all_frame_dims
+    encode_text = Imagen.encode_text
+    force_unconditional_ = Imagen.force_unconditional_
 
     # --- preconditioning -----------------------------------------------------------------
 

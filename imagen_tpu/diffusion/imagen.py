@@ -65,22 +65,43 @@ def _huber_loss(pred, target, beta: float = 1.0):
 LOSS_FNS = {'l1': _l1_loss, 'l2': _l2_loss, 'huber': _huber_loss}
 
 
+_CFG_BATCHED_KWARGS = (
+    'text_embeds', 'text_mask', 'cond_images', 'lowres_cond_img',
+    'lowres_noise_times', 'self_cond', 'cond_video_frames',
+    'post_cond_video_frames',
+)
+
+
 def unet_forward_with_cond_scale(unet, variables, x, time, *, cond_scale=1.,
                                  rngs=None, **kwargs):
     """Classifier-free guidance: lerp from the fully-dropped (null) prediction.
 
-    Reference imagen_pytorch.py:1510-1522. Both branches are static graphs
-    (cond_drop_prob 0 / 1), so inside a scanned sampler this is two fused unet calls.
+    Reference imagen_pytorch.py:1510-1522, but TPU-first: instead of the reference's
+    two sequential forwards, the conditional and null branches run as ONE
+    doubled-batch forward (`force_text_drop_mask` selects the null half per sample).
+    At sampling batch sizes this keeps the MXU fed and halves per-step overhead.
     In training (EDM preconditioned forward) a nonzero cond_drop_prob rides through.
     """
     cond_drop_prob = kwargs.pop('cond_drop_prob', 0.)
-    logits = unet.apply(variables, x, time, cond_drop_prob=cond_drop_prob,
-                        rngs=rngs, **kwargs)
 
     if cond_scale == 1:
-        return logits
+        return unet.apply(variables, x, time, cond_drop_prob=cond_drop_prob,
+                          rngs=rngs, **kwargs)
 
-    null_logits = unet.apply(variables, x, time, cond_drop_prob=1., rngs=rngs, **kwargs)
+    b = x.shape[0]
+
+    def double(t):
+        return jnp.concatenate((t, t), axis=0) if exists(t) else t
+
+    kwargs2 = {k: (double(v) if k in _CFG_BATCHED_KWARGS else v)
+               for k, v in kwargs.items()}
+    drop_mask = jnp.concatenate(
+        (jnp.zeros(b, bool), jnp.ones(b, bool)), axis=0)
+
+    both = unet.apply(
+        variables, double(x), double(time),
+        force_text_drop_mask=drop_mask, rngs=rngs, **kwargs2)
+    logits, null_logits = both[:b], both[b:]
     return null_logits + (logits - null_logits) * cond_scale
 
 
@@ -226,6 +247,19 @@ class Imagen:
     def get_unet(self, unet_number):
         assert 0 < unet_number <= self.num_unets
         return self.unets[unet_number - 1]
+
+    def encode_text(self, texts, **kwargs):
+        """reference imagen_pytorch.py:1889 (partial-bound t5_encode_text)."""
+        from imagen_tpu.models.t5 import t5_encode_text
+        return t5_encode_text(texts, name=self.text_encoder_name, **kwargs)
+
+    def force_unconditional_(self):
+        """Drop text conditioning across the cascade; reference :1978-1983."""
+        self.condition_on_text = False
+        self.unconditional = True
+        self.unets = tuple(
+            u if not hasattr(u, 'cond_on_text') else u.clone(cond_on_text=False)
+            for u in self.unets)
 
     def _calc_all_frame_dims(self, frames):
         """Per-stage frame counts from temporal downsample factors;

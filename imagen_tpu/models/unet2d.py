@@ -140,8 +140,12 @@ class Unet(nn.Module):
         cond_images=None,
         self_cond=None,
         cond_drop_prob: float = 0.,
+        force_text_drop_mask=None,
         deterministic: bool = True,
     ):
+        """`force_text_drop_mask` (b,) bool overrides the CFG bernoulli draw — True
+        drops to null embeddings. Enables batched CFG: conditional and null halves run
+        in ONE doubled-batch forward (imagen_tpu.diffusion.imagen cond-scale path)."""
         assert self.attn_heads > 1, 'you need more than 1 attention head'
         batch_size = x.shape[0]
         dtype = self.dtype
@@ -237,11 +241,15 @@ class Unet(nn.Module):
             assert exists(self.text_embed_dim)
 
             # CFG conditional dropout mask
-            if cond_drop_prob in (0., 1.):
-                keep_key = None
+            if exists(force_text_drop_mask):
+                text_keep_mask = jnp.logical_not(force_text_drop_mask)
             else:
-                keep_key = self.make_rng('cond_drop')
-            text_keep_mask = prob_mask_like(keep_key, (batch_size,), 1 - cond_drop_prob)
+                if cond_drop_prob in (0., 1.):
+                    keep_key = None
+                else:
+                    keep_key = self.make_rng('cond_drop')
+                text_keep_mask = prob_mask_like(
+                    keep_key, (batch_size,), 1 - cond_drop_prob)
             text_keep_mask_embed = text_keep_mask[:, None, None]
             text_keep_mask_hidden = text_keep_mask[:, None]
 

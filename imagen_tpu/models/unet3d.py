@@ -158,6 +158,7 @@ class Unet3D(nn.Module):
         post_cond_video_frames=None,
         self_cond=None,
         cond_drop_prob: float = 0.,
+        force_text_drop_mask=None,
         ignore_time: bool = False,
         deterministic: bool = True,
     ):
@@ -281,11 +282,15 @@ class Unet3D(nn.Module):
         if exists(text_embeds) and self.cond_on_text:
             assert exists(self.text_embed_dim)
 
-            if cond_drop_prob in (0., 1.):
-                keep_key = None
+            if exists(force_text_drop_mask):
+                text_keep_mask = jnp.logical_not(force_text_drop_mask)
             else:
-                keep_key = self.make_rng('cond_drop')
-            text_keep_mask = prob_mask_like(keep_key, (batch_size,), 1 - cond_drop_prob)
+                if cond_drop_prob in (0., 1.):
+                    keep_key = None
+                else:
+                    keep_key = self.make_rng('cond_drop')
+                text_keep_mask = prob_mask_like(
+                    keep_key, (batch_size,), 1 - cond_drop_prob)
             text_keep_mask_embed = text_keep_mask[:, None, None]
             text_keep_mask_hidden = text_keep_mask[:, None]
 

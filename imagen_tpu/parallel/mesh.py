@@ -56,11 +56,36 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def param_sharding_rules(mesh: Mesh, params):
+def param_sharding_rules(mesh: Mesh, params, min_weight_size: int = 2 ** 16):
     """Sharding specs for params.
 
-    Current policy: fully replicated (DP parity with the reference, which only has
-    DDP — SURVEY.md §2.3). The 'model' axis is reserved: a future TP policy shards
-    Dense kernels' output features and attention heads over it.
+    With model=1 (DP parity with the reference, which only has DDP — SURVEY.md
+    §2.3) everything is replicated. With model>1, large kernels shard their
+    output-feature (last) axis over 'model' — Megatron-style column parallelism:
+    each device holds a slice of every big Dense/Conv kernel and computes its slice
+    of the output features; GSPMD inserts the all-gather where the full activation
+    is consumed. Small params (norm gains, biases, embeddings under
+    `min_weight_size`) stay replicated.
     """
-    return jax.tree_util.tree_map(lambda _: replicated(mesh), params)
+    model_size = mesh.shape['model']
+    repl = replicated(mesh)
+    if model_size == 1:
+        return jax.tree_util.tree_map(lambda _: repl, params)
+
+    def spec_for(leaf):
+        shape = getattr(leaf, 'shape', ())
+        size = getattr(leaf, 'size', 0)
+        if (len(shape) >= 2 and size >= min_weight_size
+                and shape[-1] % model_size == 0):
+            return NamedSharding(
+                mesh, P(*([None] * (len(shape) - 1)), 'model'))
+        return repl
+
+    return jax.tree_util.tree_map(spec_for, params)
+
+
+def shard_params(mesh: Mesh, params, min_weight_size: int = 2 ** 16):
+    """Place params according to `param_sharding_rules`."""
+    specs = param_sharding_rules(mesh, params, min_weight_size)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), params, specs)

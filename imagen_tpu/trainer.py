@@ -309,10 +309,18 @@ class ImagenTrainer:
         ema = to_host(variables) if self.use_ema else None
         ema = jax.tree_util.tree_map(jnp.asarray, ema) if exists(ema) else None
         if exists(self.mesh):
-            variables = replicate(self.mesh, variables)
-            opt_state = replicate(self.mesh, opt_state)
-            if exists(ema):
-                ema = replicate(self.mesh, ema)
+            if self.mesh.shape.get('model', 1) > 1:
+                # tensor-parallel placement (Megatron-style column sharding)
+                from imagen_tpu.parallel.mesh import shard_params
+                variables = shard_params(self.mesh, variables)
+                opt_state = shard_params(self.mesh, opt_state)
+                if exists(ema):
+                    ema = shard_params(self.mesh, ema)
+            else:
+                variables = replicate(self.mesh, variables)
+                opt_state = replicate(self.mesh, opt_state)
+                if exists(ema):
+                    ema = replicate(self.mesh, ema)
         self.params[index] = variables
         self.opt_states[index] = opt_state
         self.ema_params[index] = ema
