@@ -89,3 +89,20 @@ def shard_params(mesh: Mesh, params, min_weight_size: int = 2 ** 16):
     specs = param_sharding_rules(mesh, params, min_weight_size)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), params, specs)
+
+
+def host_offload(tree):
+    """Move a pytree to host memory.
+
+    The TPU analog of the reference's cascade-stage GPU/CPU unet juggling
+    (`one_unet_in_gpu`, imagen_pytorch.py:2011-2028): park non-active cascade
+    stages' params on host; `device_restore` brings them back for their stage.
+    """
+    cpu = jax.devices('cpu')[0]
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, cpu), tree)
+
+
+def device_restore(tree, device=None):
+    """Bring a host-parked pytree back onto an accelerator device."""
+    device = default(device, jax.devices()[0])
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, device), tree)
