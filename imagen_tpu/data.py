@@ -36,7 +36,8 @@ class Dataset:
     """
 
     def __init__(self, folder, image_size, exts=('jpg', 'jpeg', 'png', 'tiff'),
-                 convert_image_to_type=None, random_flip=True, seed=None):
+                 convert_image_to_type=None, random_flip=True, seed=None,
+                 use_native=True):
         super().__init__()
         self.folder = folder
         self.image_size = image_size
@@ -45,6 +46,7 @@ class Dataset:
         self.convert_image_to_type = convert_image_to_type
         self.random_flip = random_flip
         self._rng = random.Random(seed)
+        self.use_native = use_native
 
     def __len__(self):
         return len(self.paths)
@@ -52,6 +54,18 @@ class Dataset:
     def __getitem__(self, index):
         from PIL import Image
         path = self.paths[index]
+
+        # native fast path: one-pass JPEG decode+resize+crop+flip in C++
+        if (self.use_native and path.suffix.lower() in ('.jpg', '.jpeg')
+                and self.convert_image_to_type in (None, 'RGB')):
+            from imagen_tpu import native
+            if native.available():
+                hflip = self.random_flip and self._rng.random() < 0.5
+                arr = native.jpeg_decode_resize(
+                    path.read_bytes(), self.image_size, hflip=hflip)
+                if arr is not None:
+                    return arr
+
         img = Image.open(path)
 
         if exists(self.convert_image_to_type):
