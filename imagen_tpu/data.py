@@ -235,11 +235,47 @@ class DataLoader:
             yield batch
 
 
+class PrefetchLoader:
+    """Wrap a dataloader with a background-thread prefetch queue so host-side decode
+    overlaps device compute (the JAX dispatch is already async on the device side)."""
+
+    def __init__(self, dl, prefetch: int = 2):
+        self.dl = dl
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.dl)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for item in self.dl:
+                    q.put(item)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+
 def get_images_dataloader(folder, *, batch_size, image_size, shuffle=True,
-                          cycle_dl=False, pin_memory=True, **kwargs):
+                          cycle_dl=False, pin_memory=True, prefetch=2, **kwargs):
     """reference data.py:122-136 (`pin_memory` accepted for parity; no-op here)."""
     ds = Dataset(folder, image_size, **kwargs)
     dl = DataLoader(ds, batch_size=batch_size, shuffle=shuffle)
+    if prefetch:
+        dl = PrefetchLoader(dl, prefetch=prefetch)
     if cycle_dl:
         dl = cycle(dl)
     return dl

@@ -109,6 +109,14 @@ class Unet(nn.Module):
     def channels_out_(self):
         return default(self.channels_out, self.channels)
 
+    def forward_with_cond_scale(self, variables, x, time, *, cond_scale=1., **kwargs):
+        """CFG forward (reference :1510-1522); see
+        imagen_tpu.diffusion.imagen.unet_forward_with_cond_scale for the batched
+        implementation this delegates to."""
+        from imagen_tpu.diffusion.imagen import unet_forward_with_cond_scale
+        return unet_forward_with_cond_scale(
+            self, variables, x, time, cond_scale=cond_scale, **kwargs)
+
     def cast_model_parameters(self, *, lowres_cond, text_embed_dim, channels,
                               channels_out, cond_on_text):
         """Re-clone with cascade-corrected conditioning config; reference :1446-1470."""

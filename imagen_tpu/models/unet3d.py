@@ -126,6 +126,13 @@ class Unet3D(nn.Module):
         strides = cast_tuple(self.temporal_strides, len(self.dim_mults))
         return functools.reduce(operator.mul, strides, 1)
 
+    def forward_with_cond_scale(self, variables, x, time, *, cond_scale=1., **kwargs):
+        """CFG forward (reference imagen_video.py:1643-1655); delegates to the
+        batched implementation."""
+        from imagen_tpu.diffusion.imagen import unet_forward_with_cond_scale
+        return unet_forward_with_cond_scale(
+            self, variables, x, time, cond_scale=cond_scale, **kwargs)
+
     def cast_model_parameters(self, *, lowres_cond, text_embed_dim, channels,
                               channels_out, cond_on_text):
         """reference imagen_video.py:1594-1619."""

@@ -630,7 +630,12 @@ class ImagenTrainer:
             bundle['imagen_params'] = self.imagen._config
         return bundle
 
-    def save(self, path, overwrite=True, without_optim_and_sched=False, **kwargs):
+    def save(self, path, overwrite=True, without_optim_and_sched=False,
+             async_save=False, **kwargs):
+        """Save the trainer bundle. `async_save=True` gathers state to host
+        synchronously (cheap) and performs serialization + IO on a background
+        thread so the train loop is not blocked (the reference blocks on
+        torch.save, trainer.py:739)."""
         if not self.can_checkpoint:
             return
         fs = self.fs
@@ -639,8 +644,23 @@ class ImagenTrainer:
         if 'imagen_params' in bundle:
             self.print(f'this checkpoint is commandable from the CLI - '
                        f'"imagen --model {str(path)} \"<prompt>\""')
-        save_obj(fs, path, bundle)
+
+        if async_save:
+            import threading
+            self._wait_for_pending_save()
+            t = threading.Thread(
+                target=save_obj, args=(fs, path, bundle), daemon=True)
+            t.start()
+            self._pending_save = t
+        else:
+            save_obj(fs, path, bundle)
         self.print(f'checkpoint saved to {path}')
+
+    def _wait_for_pending_save(self):
+        t = getattr(self, '_pending_save', None)
+        if t is not None:
+            t.join()
+            self._pending_save = None
 
     def load(self, path, only_model=False, strict=True, noop_if_not_exist=False):
         fs = self.fs

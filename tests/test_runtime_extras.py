@@ -1,0 +1,66 @@
+"""Prefetch loader, async checkpoint save, forward_with_cond_scale method."""
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagen_tpu.data import DataLoader, PrefetchLoader
+from imagen_tpu.diffusion.imagen import Imagen
+from imagen_tpu.models.unet2d import Unet
+from imagen_tpu.trainer import ImagenTrainer
+
+TINY = dict(
+    dim=8, dim_mults=(1, 2), text_embed_dim=16, cond_dim=8, attn_dim_head=4,
+    attn_heads=2, attn_pool_num_latents=2, max_text_len=8,
+    layer_attns=False, layer_cross_attns=(False, True),
+)
+
+
+class SlowDataset:
+    def __len__(self):
+        return 8
+
+    def __getitem__(self, i):
+        time.sleep(0.01)
+        return np.full((4, 4, 3), i, np.float32)
+
+
+def test_prefetch_loader_yields_all():
+    dl = PrefetchLoader(DataLoader(SlowDataset(), batch_size=2, shuffle=False))
+    batches = list(dl)
+    assert len(batches) == 4
+    np.testing.assert_array_equal(batches[0][0], 0.)
+    # second epoch works too
+    assert len(list(dl)) == 4
+
+
+def test_async_checkpoint_save(tmp_path):
+    imagen = Imagen(unets=(Unet(**TINY),), image_sizes=(16,), text_embed_dim=16,
+                    timesteps=4)
+    trainer = ImagenTrainer(imagen=imagen, verbose=False)
+    trainer.prepare()
+    trainer._ensure_state(0)
+    path = str(tmp_path / 'async.ckpt')
+    trainer.save(path, async_save=True)
+    trainer._wait_for_pending_save()
+    assert os.path.exists(path)
+
+    trainer2 = ImagenTrainer(imagen=Imagen(
+        unets=(Unet(**TINY),), image_sizes=(16,), text_embed_dim=16,
+        timesteps=4), verbose=False)
+    trainer2.load(path)
+
+
+def test_unet_forward_with_cond_scale_method():
+    unet = Unet(**TINY)
+    x = jnp.zeros((2, 16, 16, 3))
+    t = jnp.zeros((2,))
+    te = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 16))
+    tm = jnp.ones((2, 6), bool)
+    variables = unet.init({'params': jax.random.PRNGKey(1)}, x, t,
+                          text_embeds=te, text_mask=tm)
+    out = unet.forward_with_cond_scale(variables, x, t, cond_scale=3.,
+                                       text_embeds=te, text_mask=tm)
+    assert out.shape == x.shape
