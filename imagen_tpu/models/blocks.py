@@ -188,15 +188,14 @@ class Attention(nn.Module):
             v = jnp.concatenate((cv, v), axis=-2)
             num_prepended += ck.shape[-2]
 
-        # cosine-sim QK with learned per-dim scales
+        # cosine-sim QK with learned per-dim scales (applied inside
+        # multiquery_attention — fused into the flash kernel on the long route)
         q_scale = self.param('q_scale', nn.initializers.ones, (self.dim_head,), jnp.float32)
         k_scale = self.param('k_scale', nn.initializers.ones, (self.dim_head,), jnp.float32)
-        q = l2norm(q) * q_scale.astype(q.dtype)
-        k = l2norm(k) * k_scale.astype(k.dtype)
 
         out = multiquery_attention(
             q, k, v, scale=self.scale, mask=mask, attn_bias=attn_bias,
-            null_tokens=num_prepended)
+            null_tokens=num_prepended, q_scale=q_scale, k_scale=k_scale)
 
         out = rearrange(out, 'b h n d -> b n (h d)')
         out = nn.Dense(dim, use_bias=False, dtype=self.dtype, name='to_out')(out)

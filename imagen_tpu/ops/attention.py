@@ -37,20 +37,31 @@ def _masked_softmax_fp32(sim, mask=None, null_tokens: int = 0):
     return attn.astype(dtype)
 
 
-def multiquery_attention(q, k, v, *, scale, mask=None, attn_bias=None, null_tokens=0):
+def multiquery_attention(q, k, v, *, scale, mask=None, attn_bias=None, null_tokens=0,
+                         q_scale=None, k_scale=None):
     """Multi-query attention: q is (b, h, i, d); k, v are (b, j, d).
 
-    Mirrors the einsum pair at reference imagen_pytorch.py:565,588. Long unmasked
-    flattened-pixel sequences route through the Pallas flash kernel
-    (imagen_tpu.ops.flash_attention) so the (i, j) similarity matrix never
-    materializes in HBM.
+    Mirrors the einsum pair at reference imagen_pytorch.py:565,588. When
+    `q_scale`/`k_scale` are given, q/k arrive RAW and the cosine-sim
+    l2norm+learned-gain prologue (reference :566-570) is applied here — fused into
+    the Pallas flash kernel on the long-sequence route, so normalized q/k never
+    round-trip HBM; on the XLA route it is ordinary fused elementwise code.
     """
     from imagen_tpu.ops.flash_attention import (
-        flash_attention_available, flash_multiquery_attention)
+        flash_attention_available, flash_cosine_mqa, flash_multiquery_attention)
+    from imagen_tpu.ops.tensor_utils import l2norm
+
+    cosine = exists(q_scale)
 
     if flash_attention_available(q.shape[-2], q.shape[-1],
                                  exists(mask), exists(attn_bias)):
+        if cosine:
+            return flash_cosine_mqa(q, k, v, q_scale, k_scale, scale)
         return flash_multiquery_attention(q, k, v, scale)
+
+    if cosine:
+        q = l2norm(q) * q_scale.astype(q.dtype)
+        k = l2norm(k) * k_scale.astype(k.dtype)
 
     sim = jnp.einsum('bhid,bjd->bhij', q, k) * scale
     if exists(attn_bias):

@@ -70,3 +70,24 @@ def test_flash_gate():
     # long unmasked: gated only by backend (cpu in tests)
     expected = jax.default_backend() == 'tpu'
     assert flash_attention_available(4096, 64, False, False) == expected
+
+
+def test_fused_cosine_flash_matches_xla():
+    from imagen_tpu.ops.flash_attention import (
+        _flash_mqa_forward, _naive_cosine_mqa)
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv, ks = jax.random.split(key, 4)
+    b, h, n, nk, d = 2, 2, 256, 270, 32
+    q = jax.random.normal(kq, (b, h, n, d))
+    k = jax.random.normal(kk, (b, nk, d))
+    v = jax.random.normal(kv, (b, nk, d))
+    q_scale = jax.random.uniform(ks, (d,), minval=0.5, maxval=1.5)
+    k_scale = jax.random.uniform(jax.random.PRNGKey(4), (d,),
+                                 minval=0.5, maxval=1.5)
+
+    out_ref = _naive_cosine_mqa(q, k, v, q_scale, k_scale, 8.)
+    out_fused = _flash_mqa_forward(q, k, v, 8., block_q=128, block_k=128,
+                                   interpret=True, q_scale=q_scale,
+                                   k_scale=k_scale)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_ref), atol=5e-4, rtol=1e-3)
