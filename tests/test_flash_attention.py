@@ -91,3 +91,45 @@ def test_fused_cosine_flash_matches_xla():
                                    k_scale=k_scale)
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_ref), atol=5e-4, rtol=1e-3)
+
+
+def test_fused_film_norm_matches_reference():
+    from imagen_tpu.ops.fused_norm import _forward, _xla_reference
+    key = jax.random.PRNGKey(0)
+    kx, kg, ks, kh = jax.random.split(key, 4)
+    b, h, w, c = 2, 8, 8, 32
+    x = jax.random.normal(kx, (b, h, w, c))
+    gamma = jax.random.uniform(kg, (c,), minval=0.5, maxval=1.5)
+    scale = jax.random.normal(ks, (b, c)) * 0.1
+    shift = jax.random.normal(kh, (b, c)) * 0.1
+
+    ref = _xla_reference(x, gamma, scale[:, None, None, :],
+                         shift[:, None, None, :])
+    out = _forward(x, gamma, scale, shift, block_rows=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_film_norm_grads():
+    from imagen_tpu.ops.fused_norm import fused_film_norm, _xla_reference
+    key = jax.random.PRNGKey(1)
+    kx, kg, ks, kh = jax.random.split(key, 4)
+    b, h, w, c = 1, 4, 4, 16
+    x = jax.random.normal(kx, (b, h, w, c))
+    gamma = jnp.ones((c,))
+    scale = jax.random.normal(ks, (b, c)) * 0.1
+    shift = jax.random.normal(kh, (b, c)) * 0.1
+
+    # interpret-mode on CPU: forward falls back to XLA when rows % block != 0;
+    # force comparison via the vjp (backward is XLA either way)
+    def loss_ref(x, gamma, scale, shift):
+        return jnp.sum(_xla_reference(
+            x, gamma, scale[:, None, None, :], shift[:, None, None, :]) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, gamma, scale, shift)
+    g_fused = jax.grad(
+        lambda *a: jnp.sum(fused_film_norm(*a) ** 2),
+        argnums=(0, 1, 2, 3))(x, gamma, scale, shift)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)
