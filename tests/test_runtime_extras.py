@@ -64,3 +64,24 @@ def test_unet_forward_with_cond_scale_method():
     out = unet.forward_with_cond_scale(variables, x, t, cond_scale=3.,
                                        text_embeds=te, text_mask=tm)
     assert out.shape == x.shape
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from imagen_tpu.utils.orbax_ckpt import load_bundle, save_bundle
+    imagen = Imagen(unets=(Unet(**TINY),), image_sizes=(16,), text_embed_dim=16,
+                    timesteps=4)
+    trainer = ImagenTrainer(imagen=imagen, verbose=False)
+    trainer.prepare()
+    trainer._ensure_state(0)
+    bundle = trainer.state_bundle()
+
+    path = str(tmp_path / 'orbax_ckpt')
+    save_bundle(path, bundle)
+    loaded = load_bundle(path)
+
+    assert loaded['version'] == bundle['version']
+    src = jax.tree_util.tree_leaves(bundle['model'])
+    dst = jax.tree_util.tree_leaves(loaded['model'])
+    assert len(src) == len(dst)
+    for a, b in zip(src, dst):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
