@@ -300,7 +300,10 @@ class Imagen:
         if unet.has_cond_image:
             kwargs['cond_images'] = jnp.zeros(
                 (batch_size, size, size, unet.cond_images_channels))
-        return unet.init({'params': key}, x, time, **kwargs)
+        # jit the init: unjitted flax init dispatches hundreds of tiny eager ops
+        # (catastrophic over a remote-device tunnel)
+        return jax.jit(
+            lambda k: unet.init({'params': k}, x, time, **kwargs))(key)
 
     def init_params(self, key, **kwargs):
         """Init all unets; returns a tuple of variable pytrees."""
@@ -312,13 +315,31 @@ class Imagen:
 
     def threshold_x_start(self, x_start, dynamic_threshold=True):
         """Static clamp or dynamic percentile thresholding;
-        reference imagen_pytorch.py:2094-2105."""
+        reference imagen_pytorch.py:2094-2105.
+
+        The percentile is computed with `lax.top_k` over the top (1-p) tail instead
+        of a full sort (torch.quantile semantics preserved: linear interpolation
+        between the two bracketing order statistics). For p=0.95 this sorts ~5% of
+        the elements — measurably faster inside the per-step sampler loop on TPU.
+        """
         if not dynamic_threshold:
             return jnp.clip(x_start, -1., 1.)
 
-        flat = jnp.abs(x_start.reshape(x_start.shape[0], -1))
-        s = jnp.quantile(flat.astype(jnp.float32),
-                         self.dynamic_thresholding_percentile, axis=-1)
+        flat = jnp.abs(x_start.reshape(x_start.shape[0], -1)).astype(jnp.float32)
+        n = flat.shape[-1]
+        pos = self.dynamic_thresholding_percentile * (n - 1)
+        lo = int(np.floor(pos))
+        frac = pos - lo
+        k = n - lo  # elements needed to reach the lo-th ascending order stat
+
+        if k <= 1:
+            s = jnp.max(flat, axis=-1)
+        else:
+            topk = jax.lax.top_k(flat, k)[0]        # descending
+            v_lo = topk[..., -1]                    # x_(lo)
+            v_hi = topk[..., -2]                    # x_(lo+1)
+            s = v_lo + frac * (v_hi - v_lo)
+
         s = jnp.clip(s, min=1.)
         s = right_pad_dims_to(x_start, s).astype(x_start.dtype)
         return jnp.clip(x_start, -s, s) / s

@@ -157,3 +157,29 @@ def test_gammas():
     assert gv[0] == 0.          # sigma_max=80 > S_tmax=50
     assert gv[-1] == 0.         # sigma=0 < S_tmin
     assert np.any(gv == min(80. / 32, 2 ** 0.5 - 1))
+
+
+def test_topk_threshold_matches_quantile():
+    """threshold_x_start's top-k order-statistic must equal jnp.quantile."""
+    from imagen_tpu.diffusion.imagen import Imagen
+    from imagen_tpu.models.unet2d import Unet
+    from imagen_tpu.ops.tensor_utils import right_pad_dims_to
+
+    imagen = Imagen(
+        unets=(Unet(dim=8, dim_mults=(1, 2), text_embed_dim=16, cond_dim=8,
+                    attn_dim_head=4, attn_heads=2, attn_pool_num_latents=2,
+                    max_text_len=8, layer_attns=False,
+                    layer_cross_attns=(False, True)),),
+        image_sizes=(16,), text_embed_dim=16, timesteps=4)
+
+    for pct in (0.95, 0.9, 0.995):
+        imagen.dynamic_thresholding_percentile = pct
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 16, 16, 3)) * 2.5
+        out = imagen.threshold_x_start(x, True)
+
+        flat = jnp.abs(x.reshape(3, -1))
+        s = jnp.clip(jnp.quantile(flat, pct, axis=-1), 1.)
+        s = s[:, None, None, None]
+        expected = jnp.clip(x, -s, s) / s
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expected), atol=1e-5, rtol=1e-5)
