@@ -601,13 +601,35 @@ class ImagenTrainer:
                 params.append(self.params[i])
         return tuple(params)
 
-    def sample(self, *args, **kwargs):
-        """Sample through the cascade with EMA params (reference trainer.py:947-961)."""
+    def sample(self, *args, max_batch_size=None, **kwargs):
+        """Sample through the cascade with EMA params (reference trainer.py:947-961).
+
+        `max_batch_size` chunks the sampling batch (reference's
+        `imagen_sample_in_chunks`, trainer.py:188-206) — chunk outputs concatenate.
+        """
         use_non_ema = kwargs.pop('use_non_ema', False)
         self.print_untrained_unets()
         params = self._sampling_params(use_non_ema)
         self.rng, key = jax.random.split(self.rng)
         key = kwargs.pop('key', key)
+
+        text_embeds = kwargs.get('text_embeds')
+        if (exists(max_batch_size) and exists(text_embeds)
+                and text_embeds.shape[0] > max_batch_size
+                and not kwargs.get('return_pil_images', False)):
+            outs = []
+            b = text_embeds.shape[0]
+            chunk_keys = jax.random.split(key, (b + max_batch_size - 1) // max_batch_size)
+            for ci, start in enumerate(range(0, b, max_batch_size)):
+                chunk_kwargs = dict(kwargs)
+                for k in ('text_embeds', 'text_masks', 'cond_images',
+                          'inpaint_images', 'inpaint_masks'):
+                    if exists(chunk_kwargs.get(k)):
+                        chunk_kwargs[k] = chunk_kwargs[k][start:start + max_batch_size]
+                outs.append(self.imagen.sample(
+                    params, chunk_keys[ci], *args, **chunk_kwargs))
+            return jnp.concatenate(outs, axis=0)
+
         return self.imagen.sample(params, key, *args, **kwargs)
 
     # --- checkpointing -------------------------------------------------------------------

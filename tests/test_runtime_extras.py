@@ -85,3 +85,30 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert len(src) == len(dst)
     for a, b in zip(src, dst):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_sample_chunked():
+    imagen = Imagen(unets=(Unet(**TINY),), image_sizes=(16,), text_embed_dim=16,
+                    timesteps=3, cond_drop_prob=0.1)
+    trainer = ImagenTrainer(imagen=imagen, verbose=False)
+    embeds = jnp.zeros((5, 6, 16))
+    out = trainer.sample(text_embeds=embeds, max_batch_size=2)
+    assert out.shape == (5, 16, 16, 3)
+
+
+def test_video_config_create():
+    from imagen_tpu.configs import ImagenConfig
+    cfg = ImagenConfig(
+        video=True,
+        unets=[dict(dim=8, dim_mults=[1, 2], text_embed_dim=16, cond_dim=8,
+                    attn_dim_head=4, attn_heads=2, attn_pool_num_latents=2,
+                    max_text_len=8, layer_attns=False,
+                    layer_cross_attns=[False, True])],
+        image_sizes=[8],
+        timesteps=4,
+        text_embed_dim=16,
+    )
+    imagen = cfg.create()
+    assert imagen.is_video
+    from imagen_tpu.models.unet3d import Unet3D
+    assert isinstance(imagen.unets[0], Unet3D)
