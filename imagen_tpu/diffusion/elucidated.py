@@ -688,7 +688,8 @@ class ElucidatedImagen:
             def compute_self_cond(_):
                 pred_x0 = self.preconditioned_network_forward(
                     unet, variables, noised_images, sigmas,
-                    rngs={'cond_drop': cdk2}, **unet_kwargs)
+                    deterministic=False,
+                    rngs={'cond_drop': cdk2, 'dropout': cdk2}, **unet_kwargs)
                 return jax.lax.stop_gradient(pred_x0)
 
             flip = jax.random.bernoulli(sck)
@@ -698,7 +699,8 @@ class ElucidatedImagen:
 
         denoised_images = self.preconditioned_network_forward(
             unet, variables, noised_images, sigmas,
-            rngs={'cond_drop': cdk}, **unet_kwargs)
+            deterministic=False,
+            rngs={'cond_drop': cdk, 'dropout': key}, **unet_kwargs)
 
         losses = (denoised_images.astype(jnp.float32)
                   - images.astype(jnp.float32)) ** 2

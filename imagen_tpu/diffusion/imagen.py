@@ -761,8 +761,9 @@ class Imagen:
         # self-conditioning 50% of the time (reference :2581-2593)
         if unet.self_cond:
             def compute_self_cond(_):
-                pred = unet.apply(variables, x_noisy, noise_cond,
-                                  rngs={'cond_drop': cdk2}, **unet_kwargs)
+                pred = unet.apply(
+                    variables, x_noisy, noise_cond, deterministic=False,
+                    rngs={'cond_drop': cdk2, 'dropout': cdk2}, **unet_kwargs)
                 x0 = (noise_scheduler.predict_start_from_noise(x_noisy, times, pred)
                       if pred_objective == 'noise' else pred)
                 return jax.lax.stop_gradient(x0)
@@ -773,8 +774,9 @@ class Imagen:
                 lambda _: jnp.zeros_like(x_noisy), operand=None)
             unet_kwargs['self_cond'] = self_cond_val
 
-        pred = unet.apply(variables, x_noisy, noise_cond,
-                          rngs={'cond_drop': cdk}, **unet_kwargs)
+        pred = unet.apply(
+            variables, x_noisy, noise_cond, deterministic=False,
+            rngs={'cond_drop': cdk, 'dropout': key}, **unet_kwargs)
 
         if pred_objective == 'noise':
             target = noise

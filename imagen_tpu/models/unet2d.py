@@ -327,12 +327,12 @@ class Unet(nn.Module):
             if layer_attn:
                 return TransformerBlockK(
                     depth=depth, ff_mult=self.ff_mult, context_dim=cond_dim,
-                    dtype=dtype, name=name, **attn_kwargs)
+                    dtype=dtype, name=name, **attn_kwargs), False
             if layer_use_linear_attn:
                 return LinearAttentionTransformerBlockK(
                     depth=depth, ff_mult=self.ff_mult, context_dim=cond_dim,
-                    dtype=dtype, name=name, **attn_kwargs)
-            return None
+                    dtype=dtype, name=name, **attn_kwargs), True
+            return None, False
 
         # initial resnet block for the memory-efficient variant (reference :1331)
         if self.memory_efficient:
@@ -372,9 +372,11 @@ class Unet(nn.Module):
                     name=f'down_{ind}_block_{j}')(x, time_emb=t)
                 hiddens.append(x)
 
-            tb = transformer_for(layer_attn, lin_attn, attn_depth, f'down_{ind}_attn')
+            tb, tb_linear = transformer_for(
+                layer_attn, lin_attn, attn_depth, f'down_{ind}_attn')
             if exists(tb):
-                x = tb(x, context=c)
+                x = tb(x, context=c, **(
+                    dict(deterministic=deterministic) if tb_linear else {}))
             hiddens.append(x)
 
             if not self.memory_efficient:   # post-downsample
@@ -436,9 +438,11 @@ class Unet(nn.Module):
                     attn_dim_head=self.attn_dim_head, attn_heads=self.attn_heads,
                     name=f'up_{ind}_block_{j}')(x, time_emb=t)
 
-            tb = transformer_for(layer_attn, lin_attn, attn_depth, f'up_{ind}_attn')
+            tb, tb_linear = transformer_for(
+                layer_attn, lin_attn, attn_depth, f'up_{ind}_attn')
             if exists(tb):
-                x = tb(x, context=c)
+                x = tb(x, context=c, **(
+                    dict(deterministic=deterministic) if tb_linear else {}))
             up_hiddens.append(x)
 
             if not is_last or self.memory_efficient:

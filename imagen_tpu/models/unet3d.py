@@ -378,13 +378,15 @@ class Unet3D(nn.Module):
                 return TransformerBlockVideo(
                     depth=depth, ff_mult=self.ff_mult,
                     ff_time_token_shift=self.ff_time_token_shift,
-                    context_dim=cond_dim, dtype=dtype, name=name, **attn_kwargs)
+                    context_dim=cond_dim, dtype=dtype, name=name,
+                    **attn_kwargs), False
             if self.use_linear_attn:
                 return LinearAttentionTransformerBlockVideo(
                     depth=depth, ff_mult=self.ff_mult,
                     ff_time_token_shift=self.ff_time_token_shift,
-                    context_dim=cond_dim, dtype=dtype, name=name, **attn_kwargs)
-            return None
+                    context_dim=cond_dim, dtype=dtype, name=name,
+                    **attn_kwargs), True
+            return None, False
 
         if self.memory_efficient:
             x = ResnetBlockVideo(
@@ -427,9 +429,11 @@ class Unet3D(nn.Module):
                         x, time_emb=t, ignore_time=ignore_time)
                 hiddens.append(x)
 
-            tb = transformer_for(layer_attn, attn_depth, f'down_{ind}_attn')
+            tb, tb_linear = transformer_for(
+                layer_attn, attn_depth, f'down_{ind}_attn')
             if exists(tb):
-                x = tb(x, context=c)
+                x = tb(x, context=c, **(
+                    dict(deterministic=deterministic) if tb_linear else {}))
 
             if not ignore_time:
                 x = TemporalPeg(causal=self.time_causal_attn, dtype=dtype,
@@ -525,9 +529,11 @@ class Unet3D(nn.Module):
                     name=f'up_{ind}_block_{j}')(
                         x, time_emb=t, ignore_time=ignore_time)
 
-            tb = transformer_for(layer_attn, attn_depth, f'up_{ind}_attn')
+            tb, tb_linear = transformer_for(
+                layer_attn, attn_depth, f'up_{ind}_attn')
             if exists(tb):
-                x = tb(x, context=c)
+                x = tb(x, context=c, **(
+                    dict(deterministic=deterministic) if tb_linear else {}))
 
             if not ignore_time:
                 x = TemporalPeg(causal=self.time_causal_attn, dtype=dtype,
