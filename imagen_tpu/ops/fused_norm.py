@@ -6,9 +6,13 @@ target. One Pallas pass computes
 
     y = silu( l2norm_c(x) * sqrt(C) * gamma * (scale + 1) + shift )
 
-per pixel row, so the normalized intermediate never hits HBM. Exposed behind
-`Block(use_fused_film=...)`-style opt-in (wired via `imagen_tpu.models.blocks.Block`
-when enabled); backward recomputes through the XLA reference implementation.
+per pixel row, so the normalized intermediate never hits HBM. Backward recomputes
+through the XLA reference implementation.
+
+MEASURED (v5e, b16 x 64x64x128 bf16): XLA 0.91ms vs this kernel 1.36ms — XLA's own
+fusion already wins on this elementwise+reduce chain, so the model blocks keep the
+XLA path and this kernel stays as a reference implementation (SURVEY.md §7 listed it
+as a candidate fusion; the measurement says don't).
 """
 from __future__ import annotations
 
@@ -22,8 +26,8 @@ from jax.experimental import pallas as pl
 def _kernel(x_ref, gamma_ref, scale_ref, shift_ref, o_ref, *, dim):
     x = x_ref[0].astype(jnp.float32)                    # (rows, C)
     gamma = gamma_ref[0].astype(jnp.float32)            # (1, C) -> broadcast
-    scale = scale_ref[0].astype(jnp.float32)
-    shift = shift_ref[0].astype(jnp.float32)
+    scale = scale_ref[0, 0].astype(jnp.float32)
+    shift = shift_ref[0, 0].astype(jnp.float32)
 
     inv = jax.lax.rsqrt(jnp.maximum(
         jnp.sum(x * x, axis=-1, keepdims=True), 1e-24))
@@ -63,12 +67,12 @@ def _forward(x, gamma, scale, shift, block_rows=256, interpret=False):
         in_specs=[
             pl.BlockSpec((1, block_rows, c), lambda bb, i: (bb, i, 0)),
             pl.BlockSpec((1, c), lambda bb, i: (0, 0)),
-            pl.BlockSpec((1, c), lambda bb, i: (bb, 0)),
-            pl.BlockSpec((1, c), lambda bb, i: (bb, 0)),
+            pl.BlockSpec((1, 1, c), lambda bb, i: (bb, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda bb, i: (bb, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_rows, c), lambda bb, i: (bb, i, 0)),
         interpret=interpret,
-    )(x_r, gamma.reshape(1, c), scale, shift)
+    )(x_r, gamma.reshape(1, c), scale.reshape(b, 1, c), shift.reshape(b, 1, c))
     return out.reshape(b, h, w, c)
 
 
