@@ -109,6 +109,7 @@ class Unet3D(nn.Module):
     combine_upsample_fmaps: bool = False
     pixel_shuffle_upsample: bool = True
     resize_mode: str = 'nearest'
+    remat: bool = False                     # rematerialize blocks (jax.checkpoint)
     dtype: Dtype = jnp.float32
 
     is_video_unet: bool = True  # marker for Imagen.is_video detection
@@ -177,6 +178,13 @@ class Unet3D(nn.Module):
 
         assert ignore_time or frames % self.total_temporal_divisor == 0, \
             f'frames {frames} must divide total temporal divisor {self.total_temporal_divisor}'
+
+        # rematerialization: trade FLOPs for activation memory
+        if self.remat:
+            # ignore_time is a static python flag -> static_argnums (module is 0)
+            ResnetBlockVideoK = nn.remat(ResnetBlockVideo, static_argnums=(4,))
+        else:
+            ResnetBlockVideoK = ResnetBlockVideo
 
         num_layers = len(self.dim_mults)
         init_dim = default(self.init_dim, self.dim)
@@ -389,11 +397,11 @@ class Unet3D(nn.Module):
             return None, False
 
         if self.memory_efficient:
-            x = ResnetBlockVideo(
+            x = ResnetBlockVideoK(
                 dim_out=init_dim, time_cond_dim=time_cond_dim,
                 use_gca=self.use_global_context_attn, dtype=dtype,
                 attn_dim_head=self.attn_dim_head, attn_heads=self.attn_heads,
-                name='init_resnet_block')(x, time_emb=t, ignore_time=ignore_time)
+                name='init_resnet_block')(x, t, None, ignore_time)
 
         hiddens = []
         for ind, ((dim_in, dim_out), nblocks, layer_attn, attn_depth,
@@ -412,21 +420,21 @@ class Unet3D(nn.Module):
             else:
                 current_dim = dim_in
 
-            x = ResnetBlockVideo(
+            x = ResnetBlockVideoK(
                 dim_out=current_dim, cond_dim=layer_cond_dim,
                 linear_attn=layer_use_linear_cross_attn,
                 time_cond_dim=time_cond_dim, dtype=dtype,
                 attn_dim_head=self.attn_dim_head, attn_heads=self.attn_heads,
                 name=f'down_{ind}_init_block')(
-                    x, time_emb=t, cond=c, ignore_time=ignore_time)
+                    x, t, c, ignore_time)
 
             for j in range(nblocks):
-                x = ResnetBlockVideo(
+                x = ResnetBlockVideoK(
                     dim_out=current_dim, time_cond_dim=time_cond_dim,
                     use_gca=self.use_global_context_attn, dtype=dtype,
                     attn_dim_head=self.attn_dim_head, attn_heads=self.attn_heads,
                     name=f'down_{ind}_block_{j}')(
-                        x, time_emb=t, ignore_time=ignore_time)
+                        x, t, None, ignore_time)
                 hiddens.append(x)
 
             tb, tb_linear = transformer_for(
@@ -461,11 +469,11 @@ class Unet3D(nn.Module):
 
         # --- middle ----------------------------------------------------------------------
         mid_dim = dims[-1]
-        x = ResnetBlockVideo(
+        x = ResnetBlockVideoK(
             dim_out=mid_dim, cond_dim=cond_dim, time_cond_dim=time_cond_dim,
             dtype=dtype, attn_dim_head=self.attn_dim_head,
             attn_heads=self.attn_heads, name='mid_block1')(
-                x, time_emb=t, cond=c, ignore_time=ignore_time)
+                x, t, c, ignore_time)
 
         if self.attend_at_middle:
             f_m, h_m, w_m = x.shape[1], x.shape[2], x.shape[3]
@@ -480,11 +488,11 @@ class Unet3D(nn.Module):
             x = TemporalAttention(causal=self.time_causal_attn, dtype=dtype,
                                   name='mid_temporal_attn', **attn_kwargs)(x)
 
-        x = ResnetBlockVideo(
+        x = ResnetBlockVideoK(
             dim_out=mid_dim, cond_dim=cond_dim, time_cond_dim=time_cond_dim,
             dtype=dtype, attn_dim_head=self.attn_dim_head,
             attn_heads=self.attn_heads, name='mid_block2')(
-                x, time_emb=t, cond=c, ignore_time=ignore_time)
+                x, t, c, ignore_time)
 
         # --- upsample path ---------------------------------------------------------------
         def add_skip(x):
@@ -512,22 +520,22 @@ class Unet3D(nn.Module):
                     name=f'up_{ind}_temporal_up')(x)
 
             x = add_skip(x)
-            x = ResnetBlockVideo(
+            x = ResnetBlockVideoK(
                 dim_out=dim_out, cond_dim=layer_cond_dim,
                 linear_attn=layer_use_linear_cross_attn,
                 time_cond_dim=time_cond_dim, dtype=dtype,
                 attn_dim_head=self.attn_dim_head, attn_heads=self.attn_heads,
                 name=f'up_{ind}_init_block')(
-                    x, time_emb=t, cond=c, ignore_time=ignore_time)
+                    x, t, c, ignore_time)
 
             for j in range(nblocks):
                 x = add_skip(x)
-                x = ResnetBlockVideo(
+                x = ResnetBlockVideoK(
                     dim_out=dim_out, time_cond_dim=time_cond_dim,
                     use_gca=self.use_global_context_attn, dtype=dtype,
                     attn_dim_head=self.attn_dim_head, attn_heads=self.attn_heads,
                     name=f'up_{ind}_block_{j}')(
-                        x, time_emb=t, ignore_time=ignore_time)
+                        x, t, None, ignore_time)
 
             tb, tb_linear = transformer_for(
                 layer_attn, attn_depth, f'up_{ind}_attn')
@@ -556,11 +564,11 @@ class Unet3D(nn.Module):
             x = jnp.concatenate((x, init_conv_residual), axis=-1)
 
         if self.final_resnet_block:
-            x = ResnetBlockVideo(
+            x = ResnetBlockVideoK(
                 dim_out=self.dim, time_cond_dim=time_cond_dim, use_gca=True,
                 dtype=dtype, attn_dim_head=self.attn_dim_head,
                 attn_heads=self.attn_heads, name='final_res_block')(
-                    x, time_emb=t, ignore_time=ignore_time)
+                    x, t, None, ignore_time)
 
         if exists(lowres_cond_img):
             x = jnp.concatenate((x, lowres_cond_img), axis=-1)
