@@ -20,13 +20,14 @@ import jax.numpy as jnp
 TIMESTEPS = int(os.environ.get('BENCH_TIMESTEPS', 64))
 BATCH = int(os.environ.get('BENCH_BATCH', 8))
 COND_SCALE = float(os.environ.get('BENCH_COND_SCALE', 3.0))
+MODE = os.environ.get('BENCH_MODE', 'base64')  # 'base64' | 'cascade'
 
 
-def main():
+def build_imagen():
     from imagen_tpu.diffusion.imagen import Imagen
     from imagen_tpu.models.unet2d import Unet
 
-    unet = Unet(
+    base = Unet(
         dim=128,
         dim_mults=(1, 2, 3, 4),
         num_resnet_blocks=2,
@@ -38,16 +39,35 @@ def main():
         max_text_len=256,
         dtype=jnp.bfloat16,
     )
-    imagen = Imagen(
-        unets=(unet,),
-        image_sizes=(64,),
+    if MODE == 'base64':
+        return Imagen(
+            unets=(base,), image_sizes=(64,), text_embed_dim=768,
+            timesteps=TIMESTEPS, cond_drop_prob=0.1)
+
+    # BASELINE config 2 shape: base 64 + memory-efficient SR 256 (scaled dims)
+    sr = Unet(
+        dim=64,
+        dim_mults=(1, 2, 4, 8),
+        num_resnet_blocks=(2, 4, 4, 4),
+        layer_attns=(False, False, False, True),
+        layer_cross_attns=(False, False, False, True),
+        attn_heads=8,
+        attn_dim_head=64,
         text_embed_dim=768,
-        timesteps=TIMESTEPS,
-        cond_drop_prob=0.1,
+        max_text_len=256,
+        memory_efficient=True,
+        dtype=jnp.bfloat16,
     )
+    return Imagen(
+        unets=(base, sr), image_sizes=(64, 256), text_embed_dim=768,
+        timesteps=(TIMESTEPS, TIMESTEPS // 2), cond_drop_prob=0.1)
+
+
+def main():
+    imagen = build_imagen()
 
     key = jax.random.PRNGKey(0)
-    params = (imagen.init_unet_params(1, key, batch_size=1, text_len=256),)
+    params = imagen.init_params(key, batch_size=1, text_len=256)
     text_embeds = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 256, 768))
     text_masks = jnp.ones((BATCH, 256), bool)
 
@@ -72,20 +92,24 @@ def main():
         times.append(time.perf_counter() - t0)
 
     elapsed = min(times)
-    steps_per_sec = TIMESTEPS / elapsed
+    total_steps = TIMESTEPS if MODE == 'base64' else TIMESTEPS + TIMESTEPS // 2
+    steps_per_sec = total_steps / elapsed
     images_per_sec = BATCH / elapsed
     sec_per_image = elapsed / BATCH
 
     print(json.dumps({
-        'metric': 'ddpm_sampler_steps_per_sec',
-        'value': round(steps_per_sec, 3),
-        'unit': 'steps/sec',
+        'metric': ('ddpm_sampler_steps_per_sec' if MODE == 'base64'
+                   else 'cascade_64_256_images_per_sec_per_chip'),
+        'value': round(steps_per_sec if MODE == 'base64' else images_per_sec, 4),
+        'unit': 'steps/sec' if MODE == 'base64' else 'images/sec/chip',
         'vs_baseline': 1.0,
         'images_per_sec_per_chip': round(images_per_sec, 4),
+        'sampler_steps_per_sec': round(steps_per_sec, 3),
         'p50_sec_per_image': round(sec_per_image, 4),
         'batch': BATCH,
         'timesteps': TIMESTEPS,
         'cond_scale': COND_SCALE,
+        'mode': MODE,
         'device': str(jax.devices()[0]),
     }))
 
