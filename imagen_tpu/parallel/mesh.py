@@ -22,6 +22,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from imagen_tpu.utils.helpers import default
 
 
+def initialize_distributed(**kwargs):
+    """Multi-host bring-up: call once per process before `create_mesh()` so the mesh
+    spans all hosts (XLA then routes gradient collectives over ICI within a pod and
+    DCN across pods). Thin passthrough to `jax.distributed.initialize`."""
+    jax.distributed.initialize(**kwargs)
+
+
 def create_mesh(devices: Optional[Sequence] = None, data: Optional[int] = None,
                 model: int = 1) -> Mesh:
     """Create a ('data', 'model') mesh over the given (default: all) devices."""

@@ -392,9 +392,6 @@ class ImagenTrainer:
     def _loss_for_batch(self, index, params, batch, key, **extra):
         images = batch['images']
         kwargs = {k: v for k, v in batch.items() if k != 'images' and exists(v)}
-        # map plural dataloader keys to imagen.forward's signature
-        if 'text_masks' in kwargs:
-            kwargs['text_masks'] = kwargs['text_masks']
         return self.imagen.forward(
             params, images, key, unet_number=index + 1, **kwargs, **extra)
 
