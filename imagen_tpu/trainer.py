@@ -544,12 +544,21 @@ class ImagenTrainer:
         self._ensure_state(index)
 
         batch = {**batch, **kwargs}
-        batch, _ = self._prep_batch(batch, None)
+        batch, n_chunks = self._prep_batch(batch, max_batch_size)
         params = self.ema_params[index] if (use_ema and self.use_ema) \
             else self.params[index]
 
         self.rng, key = jax.random.split(self.rng)
-        loss = self._get_step_fn('loss', index)(params, batch, key)
+        loss_fn = self._get_step_fn('loss', index)
+        if n_chunks == 1:
+            loss = loss_fn(params, batch, key)
+        else:
+            chunk_keys = jax.random.split(key, n_chunks)
+            losses = [loss_fn(
+                params,
+                jax.tree_util.tree_map(lambda x, i=i: x[i], batch),
+                chunk_keys[i]) for i in range(n_chunks)]
+            loss = jnp.mean(jnp.stack(losses))
         return float(loss)
 
     def forward(self, *, unet_number=None, max_batch_size=None, **batch):

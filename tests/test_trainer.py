@@ -153,3 +153,12 @@ def test_trainer_lr_schedule():
                             cosine_decay_max_steps=100)
     lr0 = trainer.get_lr(1)
     assert lr0 < 1e-3  # warming up
+
+
+def test_trainer_valid_step_chunked():
+    trainer = ImagenTrainer(imagen=tiny_imagen(), split_valid_from_train=True,
+                            split_valid_fraction=0.5)
+    trainer.add_train_dataset(MockDataset(), batch_size=8)
+    trainer.train_step(unet_number=1)
+    vloss = trainer.valid_step(unet_number=1, max_batch_size=4)
+    assert np.isfinite(vloss)
