@@ -16,7 +16,6 @@ from typing import List, Optional, Tuple, Union
 from pydantic import BaseModel, ConfigDict, model_validator
 
 from imagen_tpu.models.t5 import DEFAULT_T5_NAME, get_encoded_dim
-from imagen_tpu.utils.helpers import default, exists
 
 
 def ListOrTuple(inner_type):

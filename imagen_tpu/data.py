@@ -7,12 +7,11 @@ The host-side loader overlaps with device compute naturally (dispatch is async i
 from __future__ import annotations
 
 import random
-from functools import partial
 from pathlib import Path
 
 import numpy as np
 
-from imagen_tpu.utils.helpers import default, exists
+from imagen_tpu.utils.helpers import exists
 
 
 def cycle(dl):

@@ -15,7 +15,6 @@ Capability parity with the reference `ElucidatedImagen`
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Any, Optional, Sequence, Tuple, Union
 

@@ -20,7 +20,7 @@ Capability parity with the reference `Imagen`
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional, Sequence, Tuple, Union
 
 import jax

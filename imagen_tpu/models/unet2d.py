@@ -24,12 +24,8 @@ import jax.numpy as jnp
 from einops import rearrange
 
 from imagen_tpu.models.blocks import (
-    Attention,
-    Block,
-    ChanRMSNorm,
     CrossEmbedLayer,
     Downsample,
-    FeedForward,
     LayerNorm,
     LearnedSinusoidalPosEmb,
     LinearAttentionTransformerBlock,

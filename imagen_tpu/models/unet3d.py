@@ -35,9 +35,7 @@ from imagen_tpu.models.blocks import (
 )
 from imagen_tpu.models.unet2d import DEFAULT_TEXT_EMBED_DIM
 from imagen_tpu.models.video_blocks import (
-    BlockVideo,
     LinearAttentionTransformerBlockVideo,
-    PseudoConv3d,
     ResnetBlockVideo,
     SpatialConvIn3d,
     TemporalAttention,

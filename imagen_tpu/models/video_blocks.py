@@ -31,18 +31,11 @@ from imagen_tpu.models.blocks import (
     Attention as TokenAttention,
     ChanRMSNorm,
     CrossAttention,
-    CrossEmbedLayer,
-    Downsample,
-    FeedForward,
     GlobalContext,
     LayerNorm,
     LinearAttention,
-    PixelShuffleUpsample,
     TorchLayerNorm,
-    Upsample,
-    _pixelshuffle_init,
 )
-from imagen_tpu.ops.attention import multiquery_attention
 from imagen_tpu.ops.tensor_utils import l2norm
 from imagen_tpu.utils.helpers import default, exists
 

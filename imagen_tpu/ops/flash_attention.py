@@ -24,7 +24,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 # Minimum query length for the flash path to pay off (below this the sim matrix is
 # tiny and XLA's fused path is faster to compile and run).

@@ -22,14 +22,12 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from imagen_tpu.diffusion.imagen import Imagen
 from imagen_tpu.ema import EMAConfig, ema_update
 from imagen_tpu.models.unet2d import NullUnet
 from imagen_tpu.parallel.mesh import replicate, shard_batch

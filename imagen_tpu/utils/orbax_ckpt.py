@@ -13,8 +13,6 @@ from __future__ import annotations
 import json
 import os
 
-import jax
-import numpy as np
 from flax import serialization
 
 from imagen_tpu.utils.checkpoint_io import to_host
