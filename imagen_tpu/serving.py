@@ -1,0 +1,111 @@
+"""Production serving runtime: precompiled fixed-shape samplers + request batching.
+
+New capability beyond the reference (which only offers ad-hoc `.sample()` calls): a
+server object that
+
+- loads a self-describing checkpoint (EMA weights preferred),
+- warms up the per-stage compiled samplers for a fixed serving batch size at startup
+  (first-compile latency is minutes; serving requests must not pay it),
+- pads incoming requests to the compiled batch size so every call hits the XLA
+  executable cache (static shapes — no recompiles in steady state),
+- optionally encodes raw text through the frozen T5 service.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagen_tpu.utils.helpers import default, exists
+
+
+class ImagenServer:
+    """Fixed-shape sampling server around an (imagen, params) pair."""
+
+    def __init__(self, imagen, params, *, batch_size=4, text_len=256,
+                 cond_scale=3., lowres_sample_noise_level=None, seed=0,
+                 warmup=True):
+        self.imagen = imagen
+        self.params = params
+        self.batch_size = batch_size
+        self.text_len = text_len
+        self.cond_scale = cond_scale
+        self.lowres_sample_noise_level = lowres_sample_noise_level
+        self.rng = jax.random.PRNGKey(seed)
+
+        if warmup:
+            self.warmup()
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint_path, *, load_ema=True, **kwargs):
+        from imagen_tpu.utils.load import load_imagen_from_checkpoint
+        imagen, params = load_imagen_from_checkpoint(
+            checkpoint_path, load_ema_if_available=load_ema)
+        return cls(imagen, params, **kwargs)
+
+    def warmup(self):
+        """Compile every cascade stage for the serving shape (blocking)."""
+        dummy_embeds = jnp.zeros(
+            (self.batch_size, self.text_len, self.imagen.text_embed_dim))
+        dummy_masks = jnp.ones((self.batch_size, self.text_len), bool)
+        out = self._sample(dummy_embeds, dummy_masks, jax.random.PRNGKey(0))
+        jax.block_until_ready(out)
+        return self
+
+    def _sample(self, text_embeds, text_masks, key):
+        kwargs = {}
+        if self.imagen.is_video:
+            kwargs['video_frames'] = getattr(self, 'video_frames', 8)
+        return self.imagen.sample(
+            self.params, key, text_embeds=text_embeds, text_masks=text_masks,
+            cond_scale=self.cond_scale,
+            lowres_sample_noise_level=self.lowres_sample_noise_level,
+            use_tqdm=False, **kwargs)
+
+    def _pad_request(self, text_embeds, text_masks):
+        """Pad/truncate a request to the compiled (batch_size, text_len) shape."""
+        n = text_embeds.shape[0]
+        assert n <= self.batch_size, \
+            f'request batch {n} exceeds serving batch {self.batch_size}; chunk it'
+
+        t = text_embeds.shape[1]
+        if t < self.text_len:
+            text_embeds = jnp.pad(
+                text_embeds, ((0, 0), (0, self.text_len - t), (0, 0)))
+            text_masks = jnp.pad(
+                text_masks, ((0, 0), (0, self.text_len - t)),
+                constant_values=False)
+        elif t > self.text_len:
+            text_embeds = text_embeds[:, :self.text_len]
+            text_masks = text_masks[:, :self.text_len]
+
+        if n < self.batch_size:
+            pad_n = self.batch_size - n
+            text_embeds = jnp.concatenate(
+                (text_embeds, jnp.zeros((pad_n, *text_embeds.shape[1:]),
+                                        text_embeds.dtype)))
+            # padding rows attend nothing real; keep one True to avoid all-masked rows
+            pad_mask = jnp.zeros((pad_n, self.text_len), bool).at[:, 0].set(True)
+            text_masks = jnp.concatenate((text_masks, pad_mask))
+        return text_embeds, text_masks, n
+
+    def generate(self, *, texts=None, text_embeds=None, text_masks=None, key=None):
+        """Sample images for up to `batch_size` prompts. Returns (n, H, W, C) in [0,1]."""
+        if exists(texts):
+            assert not exists(text_embeds)
+            from imagen_tpu.models.t5 import t5_encode_text
+            text_embeds, text_masks = t5_encode_text(
+                texts, name=self.imagen.text_encoder_name, return_attn_mask=True)
+
+        assert exists(text_embeds), 'texts or text_embeds required'
+        text_masks = default(
+            text_masks, lambda: jnp.any(text_embeds != 0., axis=-1))
+
+        text_embeds, text_masks, n = self._pad_request(
+            jnp.asarray(text_embeds), jnp.asarray(text_masks))
+
+        if key is None:
+            self.rng, key = jax.random.split(self.rng)
+
+        out = self._sample(text_embeds, text_masks, key)
+        return np.asarray(out[:n])

@@ -112,3 +112,43 @@ def test_video_config_create():
     assert imagen.is_video
     from imagen_tpu.models.unet3d import Unet3D
     assert isinstance(imagen.unets[0], Unet3D)
+
+
+def test_imagen_server(tmp_path):
+    from imagen_tpu.serving import ImagenServer
+    imagen = Imagen(unets=(Unet(**TINY),), image_sizes=(16,), text_embed_dim=16,
+                    timesteps=3, cond_drop_prob=0.1)
+    params = imagen.init_params(jax.random.PRNGKey(0), text_len=6)
+
+    server = ImagenServer(imagen, params, batch_size=4, text_len=6,
+                          cond_scale=2., warmup=True)
+
+    # under-full request gets padded to the compiled shape, result trimmed back
+    embeds = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 16))
+    out = server.generate(text_embeds=embeds)
+    assert out.shape == (2, 16, 16, 3)
+    assert out.min() >= 0. and out.max() <= 1.
+
+    # longer text gets truncated to the serving text_len
+    embeds_long = jax.random.normal(jax.random.PRNGKey(2), (1, 9, 16))
+    out = server.generate(text_embeds=embeds_long)
+    assert out.shape == (1, 16, 16, 3)
+
+
+def test_imagen_server_from_checkpoint(tmp_path):
+    from imagen_tpu.configs import ImagenConfig
+    from imagen_tpu.serving import ImagenServer
+    cfg = ImagenConfig(
+        unets=[dict(**TINY)], image_sizes=[16], timesteps=3,
+        cond_drop_prob=0.1, text_embed_dim=16)
+    trainer = ImagenTrainer(imagen=cfg.create(), verbose=False)
+    trainer.prepare()
+    trainer._ensure_state(0)
+    path = str(tmp_path / 'serve.ckpt')
+    trainer.save(path)
+
+    server = ImagenServer.from_checkpoint(
+        path, batch_size=2, text_len=6, warmup=False)
+    embeds = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 16))
+    out = server.generate(text_embeds=embeds)
+    assert out.shape == (2, 16, 16, 3)
