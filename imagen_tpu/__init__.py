@@ -27,8 +27,11 @@ from imagen_tpu.utils.load import load_imagen_from_checkpoint
 
 
 def __getattr__(name):
-    # Unet3D imports lazily (video stack)
+    # lazy imports: video stack and serving runtime
     if name == 'Unet3D':
         from imagen_tpu.models.unet3d import Unet3D
         return Unet3D
+    if name == 'ImagenServer':
+        from imagen_tpu.serving import ImagenServer
+        return ImagenServer
     raise AttributeError(f'module {__name__!r} has no attribute {name!r}')

@@ -24,13 +24,14 @@ class ImagenServer:
 
     def __init__(self, imagen, params, *, batch_size=4, text_len=256,
                  cond_scale=3., lowres_sample_noise_level=None, seed=0,
-                 warmup=True):
+                 video_frames=8, warmup=True):
         self.imagen = imagen
         self.params = params
         self.batch_size = batch_size
         self.text_len = text_len
         self.cond_scale = cond_scale
         self.lowres_sample_noise_level = lowres_sample_noise_level
+        self.video_frames = video_frames
         self.rng = jax.random.PRNGKey(seed)
 
         if warmup:
@@ -55,7 +56,7 @@ class ImagenServer:
     def _sample(self, text_embeds, text_masks, key):
         kwargs = {}
         if self.imagen.is_video:
-            kwargs['video_frames'] = getattr(self, 'video_frames', 8)
+            kwargs['video_frames'] = self.video_frames
         return self.imagen.sample(
             self.params, key, text_embeds=text_embeds, text_masks=text_masks,
             cond_scale=self.cond_scale,
