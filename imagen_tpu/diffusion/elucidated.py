@@ -208,7 +208,8 @@ class ElucidatedImagen:
                             has_inpainting, skip_steps, has_init_images, has_text,
                             has_cond_images, sigma_min, sigma_max, clamp=True,
                             video_frames=None, has_cond_video_frames=False,
-                            has_post_cond_video_frames=False):
+                            has_post_cond_video_frames=False,
+                            has_noise_override=False):
         unet = self.unets[unet_index]
         hp = self.hparams[unet_index]
         dynamic_threshold = self.dynamic_thresholding[unet_index]
@@ -220,7 +221,8 @@ class ElucidatedImagen:
         def stage_sample(variables, key, shape_b, shape_hw, text_embeds, text_mask,
                          cond_images, lowres_cond_img, lowres_noise_times,
                          inpaint_images, inpaint_masks, init_images,
-                         cond_video_frames=None, post_cond_video_frames=None):
+                         cond_video_frames=None, post_cond_video_frames=None,
+                         noise_override=None):
             batch = shape_b
             if exists(video_frames):
                 shape = (batch, video_frames, shape_hw, shape_hw, self.channels)
@@ -232,6 +234,11 @@ class ElucidatedImagen:
             gammas = edm_math.gammas_for_schedule(
                 sigmas, hp.num_sample_steps, hp.S_churn, hp.S_tmin, hp.S_tmax)
 
+            # init noise is always drawn at sigma_max (the UNSLICED schedule head),
+            # even with skip_steps — matching the reference (elucidated_imagen.py:441-443
+            # sets init_sigma = sigmas[0] before applying skip_steps).
+            init_sigma = sigmas[0]
+
             sigma_arr = sigmas[:-1]
             sigma_next_arr = sigmas[1:]
             gamma_arr = gammas[:-1]
@@ -241,8 +248,10 @@ class ElucidatedImagen:
                 gamma_arr = gamma_arr[skip_steps:]
 
             key, init_key = jax.random.split(key)
-            init_sigma = sigma_arr[0]
-            images = init_sigma * jax.random.normal(init_key, shape)
+            if has_noise_override:
+                images = init_sigma * noise_override
+            else:
+                images = init_sigma * jax.random.normal(init_key, shape)
             if has_init_images:
                 images = images + init_images
 
@@ -376,8 +385,13 @@ class ElucidatedImagen:
         return_all_unet_outputs=False,
         return_pil_images=False,
         use_tqdm=True,
+        noise_override=None,
     ):
-        """Full-cascade EDM sampling; reference elucidated_imagen.py:549-751."""
+        """Full-cascade EDM sampling; reference elucidated_imagen.py:549-751.
+
+        `noise_override`: per-stage list (entries may be None) of unit-normal init
+        noise arrays consumed instead of the PRNG draw (the schedule's sigma_max
+        scaling is applied inside) — parity/repro harness hook."""
         cond_images = maybe(cast_uint8_images_to_float)(cond_images)
 
         if exists(texts) and not exists(text_embeds) and not self.unconditional:
@@ -412,6 +426,11 @@ class ElucidatedImagen:
         skip_steps = cast_tuple(default(skip_steps, 0), num_unets)
         sigma_min = cast_tuple(sigma_min, num_unets)
         sigma_max = cast_tuple(sigma_max, num_unets)
+
+        if noise_override is None:
+            noise_override = (None,) * num_unets
+        assert len(noise_override) == num_unets, \
+            'noise_override must be a per-stage list (entries may be None)'
 
         if self.is_video and exists(inpaint_images):
             video_frames = inpaint_images.shape[1]
@@ -493,7 +512,8 @@ class ElucidatedImagen:
                          not self.unconditional, exists(cond_images),
                          sigma_min[index], sigma_max[index], frame_dim,
                          exists(stage_cond_video_frames),
-                         exists(stage_post_cond_video_frames))
+                         exists(stage_post_cond_video_frames),
+                         exists(noise_override[index]))
             if cache_key not in self._stage_sample_cache:
                 self._stage_sample_cache[cache_key] = self._make_stage_sampler(
                     index, cond_scale=cond_scale[index],
@@ -505,14 +525,16 @@ class ElucidatedImagen:
                     sigma_min=sigma_min[index], sigma_max=sigma_max[index],
                     video_frames=frame_dim,
                     has_cond_video_frames=exists(stage_cond_video_frames),
-                    has_post_cond_video_frames=exists(stage_post_cond_video_frames))
+                    has_post_cond_video_frames=exists(stage_post_cond_video_frames),
+                    has_noise_override=exists(noise_override[index]))
             stage_fn = self._stage_sample_cache[cache_key]
 
             img = stage_fn(
                 variables, stage_key, batch_size, image_size, text_embeds, text_masks,
                 cond_images, lowres_cond_img, lowres_noise_times,
                 stage_inpaint_images, stage_inpaint_masks, unet_init_images,
-                stage_cond_video_frames, stage_post_cond_video_frames)
+                stage_cond_video_frames, stage_post_cond_video_frames,
+                noise_override[index])
 
             outputs.append(img)
 

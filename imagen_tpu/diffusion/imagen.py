@@ -374,14 +374,16 @@ class Imagen:
 
     def p_sample(self, unet, variables, x, t, *, key, noise_scheduler, t_next=None,
                  cond_scale=1., pred_objective='noise', dynamic_threshold=True,
-                 **unet_kwargs):
-        """One ancestral sampling step; reference :2112-2164."""
+                 noise=None, **unet_kwargs):
+        """One ancestral sampling step; reference :2112-2164.
+
+        `noise` overrides the ancestral noise draw (parity/repro harness hook)."""
         (model_mean, _, model_log_variance), x_start = self.p_mean_variance(
             unet, variables, x, t, noise_scheduler=noise_scheduler, t_next=t_next,
             cond_scale=cond_scale, pred_objective=pred_objective,
             dynamic_threshold=dynamic_threshold, **unet_kwargs)
 
-        noise = jax.random.normal(key, x.shape, x.dtype)
+        noise = default(noise, lambda: jax.random.normal(key, x.shape, x.dtype))
         is_last_sampling_timestep = (t_next == 0)
         nonzero_mask = right_pad_dims_to(
             x, 1. - is_last_sampling_timestep.astype(x.dtype))
@@ -394,12 +396,19 @@ class Imagen:
                             has_inpainting, skip_steps, has_init_images, has_text,
                             has_cond_images, video_frames=None,
                             has_cond_video_frames=False,
-                            has_post_cond_video_frames=False):
+                            has_post_cond_video_frames=False,
+                            has_noise_override=False):
         """Build the jitted sampler for one cascade stage.
 
         The entire reference loop (imagen_pytorch.py:2168-2289) becomes one
         `lax.scan` over (t, t_next) with the RePaint resample inner `fori_loop`.
+
+        `has_noise_override`: the stage takes (init_noise, step_noises) and consumes
+        them instead of drawing from the PRNG — the cross-framework parity harness
+        feeds identical host-drawn noise to this sampler and the torch reference.
         """
+        assert not (has_noise_override and (has_inpainting or resample_times > 1)), \
+            'noise_override supports the plain ancestral path only'
         unet = self.unets[unet_index]
         noise_scheduler = self.noise_schedulers[unet_index]
         pred_objective = self.pred_objectives[unet_index]
@@ -409,7 +418,8 @@ class Imagen:
         def stage_sample(variables, key, shape_b, shape_hw, text_embeds, text_mask,
                          cond_images, lowres_cond_img, lowres_noise_times,
                          inpaint_images, inpaint_masks, init_images,
-                         cond_video_frames=None, post_cond_video_frames=None):
+                         cond_video_frames=None, post_cond_video_frames=None,
+                         noise_override=None):
             batch = shape_b
             if exists(video_frames):
                 shape = (batch, video_frames, shape_hw, shape_hw, self.channels)
@@ -417,7 +427,11 @@ class Imagen:
                 shape = (batch, shape_hw, shape_hw, self.channels)
 
             key, init_key = jax.random.split(key)
-            img = jax.random.normal(init_key, shape)
+            if has_noise_override:
+                init_noise, step_noises = noise_override
+                img = init_noise
+            else:
+                img = jax.random.normal(init_key, shape)
             if has_init_images:
                 img = img + init_images
 
@@ -443,7 +457,11 @@ class Imagen:
 
             def step(carry, ts):
                 img, x_start, key = carry
-                times, times_next = ts
+                if has_noise_override:
+                    times, times_next, step_noise = ts
+                else:
+                    times, times_next = ts
+                    step_noise = None
                 is_last_timestep = times_next == 0
 
                 def resample_body(i, inner):
@@ -465,7 +483,7 @@ class Imagen:
                         noise_scheduler=noise_scheduler, cond_scale=cond_scale,
                         pred_objective=pred_objective,
                         dynamic_threshold=dynamic_threshold,
-                        self_cond=self_cond, **unet_kwargs)
+                        self_cond=self_cond, noise=step_noise, **unet_kwargs)
 
                     if has_inpainting and resample_times > 1:
                         key, rk = jax.random.split(key)
@@ -488,8 +506,9 @@ class Imagen:
                 return (img, x_start, key), None
 
             x_start0 = jnp.zeros_like(img)
-            (img, _, _), _ = jax.lax.scan(
-                step, (img, x_start0, key), (t_arr, t_next_arr))
+            xs = ((t_arr, t_next_arr, step_noises) if has_noise_override
+                  else (t_arr, t_next_arr))
+            (img, _, _), _ = jax.lax.scan(step, (img, x_start0, key), xs)
 
             img = jnp.clip(img, -1., 1.)
             if has_inpainting:
@@ -527,12 +546,18 @@ class Imagen:
         return_all_unet_outputs=False,
         return_pil_images=False,
         use_tqdm=True,
+        noise_override=None,
     ):
         """Run the full cascade; reference imagen_pytorch.py:2294-2498.
 
         `params` is the tuple of per-unet variables. The host loop only orchestrates
         stages; each stage is one compiled program. `use_tqdm` is accepted for API
         parity (stages are compiled scans; there is no per-step host callback).
+
+        `noise_override`: per-stage list (len == num_unets, entries may be None) of
+        (init_noise, step_noises) pairs consumed instead of PRNG draws — lets a
+        harness feed identical host-drawn noise to this sampler and the torch
+        reference (cross-framework parity / exact repro).
         """
         cond_images = maybe(cast_uint8_images_to_float)(cond_images)
 
@@ -568,6 +593,11 @@ class Imagen:
         init_images = cast_tuple(init_images, num_unets)
         init_images = [maybe(self.normalize_img)(im) for im in init_images]
         skip_steps = cast_tuple(default(skip_steps, 0), num_unets)
+
+        if noise_override is None:
+            noise_override = (None,) * num_unets
+        assert len(noise_override) == num_unets, \
+            'noise_override must be a per-stage list (entries may be None)'
 
         # video frame dims per stage (reference :2381-2386)
         if self.is_video and exists(inpaint_images):
@@ -651,7 +681,8 @@ class Imagen:
                          skip_steps[index], exists(unet_init_images),
                          not self.unconditional, exists(cond_images), frame_dim,
                          exists(stage_cond_video_frames),
-                         exists(stage_post_cond_video_frames))
+                         exists(stage_post_cond_video_frames),
+                         exists(noise_override[index]))
             if cache_key not in self._stage_sample_cache:
                 self._stage_sample_cache[cache_key] = self._make_stage_sampler(
                     index, cond_scale=cond_scale[index],
@@ -662,14 +693,16 @@ class Imagen:
                     has_cond_images=exists(cond_images),
                     video_frames=frame_dim,
                     has_cond_video_frames=exists(stage_cond_video_frames),
-                    has_post_cond_video_frames=exists(stage_post_cond_video_frames))
+                    has_post_cond_video_frames=exists(stage_post_cond_video_frames),
+                    has_noise_override=exists(noise_override[index]))
             stage_fn = self._stage_sample_cache[cache_key]
 
             img = stage_fn(
                 variables, stage_key, batch_size, image_size, text_embeds, text_masks,
                 cond_images, lowres_cond_img, lowres_noise_times,
                 stage_inpaint_images, stage_inpaint_masks, unet_init_images,
-                stage_cond_video_frames, stage_post_cond_video_frames)
+                stage_cond_video_frames, stage_post_cond_video_frames,
+                noise_override[index])
 
             outputs.append(img)
 

@@ -287,8 +287,11 @@ class Unet(nn.Module):
                     name='attn_pool')(text_tokens)
 
             # non-attention text conditioning summed into t (reference :1640-1652)
+            # NB: the reference's to_text_non_attn_cond opens with a plain torch
+            # nn.LayerNorm (:1283), NOT its custom stable LayerNorm — mirrored for
+            # weight-level parity.
             mean_pooled = jnp.mean(text_tokens, axis=-2)
-            th = LayerNorm(dtype=dtype, name='text_hidden_norm')(mean_pooled)
+            th = TorchLayerNorm(dtype=dtype, name='text_hidden_norm')(mean_pooled)
             th = nn.Dense(time_cond_dim, dtype=dtype, name='text_hidden_proj1')(th)
             th = jax.nn.silu(th)
             text_hiddens = nn.Dense(time_cond_dim, dtype=dtype,
@@ -386,19 +389,22 @@ class Unet(nn.Module):
                     x = a + b
 
         # --- middle (reference :1378-1382, :1687-1692) -----------------------------------
+        # NB: the reference constructs mid_block1/2 as plain ResnetBlock (:1381-1383),
+        # NOT via `resnet_klass = partial(ResnetBlock, **attn_kwargs)` (:1299), so their
+        # cross-attention uses the CrossAttention defaults (dim_head=64, heads=8)
+        # regardless of the unet's attn_dim_head/attn_heads. Mirrored exactly for
+        # weight-level parity (tools/port_weights.py).
         mid_dim = dims[-1]
         x = ResnetBlockK(
             dim_out=mid_dim, cond_dim=cond_dim, time_cond_dim=time_cond_dim,
-            dtype=dtype, attn_dim_head=self.attn_dim_head, attn_heads=self.attn_heads,
-            name='mid_block1')(x, time_emb=t, cond=c)
+            dtype=dtype, name='mid_block1')(x, time_emb=t, cond=c)
         if self.attend_at_middle:
             x = TransformerBlockK(
                 depth=self.layer_mid_attns_depth, dtype=dtype,
                 name='mid_attn', **attn_kwargs)(x)
         x = ResnetBlockK(
             dim_out=mid_dim, cond_dim=cond_dim, time_cond_dim=time_cond_dim,
-            dtype=dtype, attn_dim_head=self.attn_dim_head, attn_heads=self.attn_heads,
-            name='mid_block2')(x, time_emb=t, cond=c)
+            dtype=dtype, name='mid_block2')(x, time_emb=t, cond=c)
 
         # --- upsample path (reference :1386-1416, :1694-1708) ----------------------------
         upsample_klass = PixelShuffleUpsample if self.pixel_shuffle_upsample else Upsample

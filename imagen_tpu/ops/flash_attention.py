@@ -1,21 +1,33 @@
-"""Pallas TPU flash attention for the unet's multi-query attention.
+"""Pallas TPU flash attention (forward + backward) for the unet's multi-query attention.
 
 The reference materializes the full (b, h, i, j) similarity matrix
 (imagen_pytorch.py:565,583) — at SR-stage resolutions the flattened-pixel sequence is
-64^2..256^2 tokens, so that matrix dominates HBM traffic. This kernel computes the
+64^2..256^2 tokens, so that matrix dominates HBM traffic. These kernels compute the
 same cosine-sim multi-query attention with online (streaming) softmax over key
-blocks: the (bi, bj) similarity tile lives only in VMEM, accumulators are fp32.
+blocks: the (bi, bj) similarity tile lives only in VMEM, accumulators are fp32, and
+neither the forward nor the backward ever materializes an (n, n) tensor in HBM.
 
 Layout (multi-query, reference imagen_pytorch.py:522):
     q: (b, h, n, d)   — queries per head
     k: (b, nk, d)     — single shared KV head
     v: (b, nk, d)
-q/k are already l2-normalized + learned-scaled by the caller (the cosine-sim quirk
-stays outside the kernel; it is elementwise and XLA fuses it into the producers).
 
-Backward: custom VJP recomputes the naive attention under jax.vjp — grads are exact;
-training memory matches the reference (flash backward kernel is future work). The
-forward (sampling hot loop, where all the benchmark time goes) never materializes sims.
+Forward: online softmax per (batch*head, q-block) program; also emits the row
+logsumexp L (in the scaled-similarity domain) used by the backward.
+
+Backward (FlashAttention-2 recomputation scheme):
+    D_i  = rowsum(dO_i * O_i)                       (precomputed by XLA, fused)
+    P    = exp(S - L)  recomputed per tile
+    dV   = P^T dO       dP = dO V^T
+    dS   = P * (dP - D) * scale
+    dQ   = dS K         dK = dS^T Q
+Two kernels: dq (grid over (b*h, q-blocks), streaming k-blocks) and dkv
+(grid over (b, k-blocks, h, q-blocks), accumulating into revisited output blocks —
+dk/dv are shared across query heads in the multi-query layout).
+
+The cosine-sim prologue (l2norm + learned per-dim gains, reference :566-570) is
+fused into the forward kernel; the backward recomputes normalized q/k with XLA
+(cheap elementwise) and chains the l2norm VJP outside the kernels.
 """
 from __future__ import annotations
 
@@ -31,6 +43,18 @@ FLASH_MIN_SEQ = 1024
 
 _NEG_INF = -1e30
 
+# module-level interpret toggle so the custom_vjp-wrapped public entry points can be
+# exercised on CPU in tests
+_INTERPRET = False
+
+
+def _pick_block_q(n):
+    """Largest well-shaped q-block that tiles the sequence; None if nothing fits."""
+    for bq in (512, 256, 128):
+        if n % bq == 0:
+            return bq
+    return None
+
 
 def _l2norm_scale(x, gain, eps=1e-12):
     """Row l2-normalize (+ learned per-dim gain) in fp32 — the cosine-sim attention
@@ -44,7 +68,9 @@ def _l2norm_scale(x, gain, eps=1e-12):
     return out.astype(x.dtype)
 
 
-def _flash_mqa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, nk, block_k,
+# --- forward ------------------------------------------------------------------------------
+
+def _flash_mqa_kernel(q_ref, k_ref, v_ref, o_ref, l_ref=None, *, scale, nk, block_k,
                       fuse_l2norm, q_scale_ref=None, k_scale_ref=None):
     """One (batch*head, i-block) program: stream key blocks with online softmax.
 
@@ -95,19 +121,25 @@ def _flash_mqa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, nk, block_k,
     acc, m, l = process(num_kb - 1, carry, masked=has_padding)
 
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    if l_ref is not None:
+        l_ref[0, 0] = (m + jnp.log(l))[:, 0]   # row logsumexp, scaled domain
 
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _flash_mqa_forward(q, k, v, scale, block_q=256, block_k=512, interpret=False,
-                       q_scale=None, k_scale=None):
-    """q_scale/k_scale given => fuse the cosine-sim l2norm+gain into the kernel."""
+def _flash_mqa_forward(q, k, v, scale, block_q=None, block_k=512, interpret=False,
+                       q_scale=None, k_scale=None, return_stats=False):
+    """q_scale/k_scale given => fuse the cosine-sim l2norm+gain into the kernel.
+
+    return_stats=True additionally returns the per-row logsumexp L (b, h, n) fp32
+    needed by the flash backward."""
     b, h, n, d = q.shape
     nk = k.shape[1]
     fuse = q_scale is not None
 
+    block_q = block_q if block_q is not None else _pick_block_q(n)
     block_q = min(block_q, n)
     block_k = min(block_k, _round_up(nk, 128))
     assert n % block_q == 0, f'query length {n} must divide block_q {block_q}'
@@ -135,30 +167,220 @@ def _flash_mqa_forward(q, k, v, scale, block_q=256, block_k=512, interpret=False
         ]
         args += [q_scale.reshape(1, d), k_scale.reshape(1, d)]
 
-        def kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref):
-            _flash_mqa_kernel(
-                q_ref, k_ref, v_ref, o_ref, scale=scale, nk=nk, block_k=block_k,
-                fuse_l2norm=True, q_scale_ref=qs_ref, k_scale_ref=ks_ref)
+    out_shape = jax.ShapeDtypeStruct((b * h, n, d), q.dtype)
+    out_spec = pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0))
+    if return_stats:
+        # stats carry a singleton axis so the block's dim -2 is array-equal
+        # (TPU tiling rule: last two block dims divisible by (8, 128) or equal)
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b * h, 1, n), jnp.float32)]
+        out_spec = [out_spec,
+                    pl.BlockSpec((1, 1, block_q), lambda bh, i: (bh, 0, i))]
+
+    kern = functools.partial(
+        _flash_mqa_kernel, scale=scale, nk=nk, block_k=block_k, fuse_l2norm=fuse)
+
+    if fuse:
+        if return_stats:
+            def kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref, l_ref):
+                kern(q_ref, k_ref, v_ref, o_ref, l_ref,
+                     q_scale_ref=qs_ref, k_scale_ref=ks_ref)
+        else:
+            def kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref):
+                kern(q_ref, k_ref, v_ref, o_ref,
+                     q_scale_ref=qs_ref, k_scale_ref=ks_ref)
     else:
-        def kernel(q_ref, k_ref, v_ref, o_ref):
-            _flash_mqa_kernel(
-                q_ref, k_ref, v_ref, o_ref, scale=scale, nk=nk, block_k=block_k,
-                fuse_l2norm=False)
+        if return_stats:
+            def kernel(q_ref, k_ref, v_ref, o_ref, l_ref):
+                kern(q_ref, k_ref, v_ref, o_ref, l_ref)
+        else:
+            def kernel(q_ref, k_ref, v_ref, o_ref):
+                kern(q_ref, k_ref, v_ref, o_ref)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+        out_shape=out_shape,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+        out_specs=out_spec,
         interpret=interpret,
     )(*args)
 
+    if return_stats:
+        o, lse = out
+        return o.reshape(b, h, n, d), lse.reshape(b, h, n)
     return out.reshape(b, h, n, d)
 
 
+# --- backward kernels ----------------------------------------------------------------------
+
+def _flash_mqa_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, L_ref, D_ref, dq_ref, *,
+                             scale, nk, block_k):
+    """dQ for one (batch*head, q-block) program, streaming key blocks.
+
+    dQ_i = sum_j [P_ij * (dO_i V_j^T - D_i)] * scale @ K_j, with P recomputed from
+    the saved logsumexp — the (bi, bj) tile never leaves VMEM."""
+    q = q_ref[0]                                       # (bi, d)
+    do = do_ref[0]                                     # (bi, d)
+    Lrow = L_ref[0, 0][:, None]                        # (bi, 1) fp32
+    Drow = D_ref[0, 0][:, None]                        # (bi, 1) fp32
+    bi, d = q.shape
+    nk_pad = k_ref.shape[1]
+    num_kb = nk_pad // block_k
+    has_padding = nk != nk_pad
+
+    def body(jb, acc):
+        kblk = k_ref[0, pl.ds(jb * block_k, block_k), :]
+        vblk = v_ref[0, pl.ds(jb * block_k, block_k), :]
+
+        s = jax.lax.dot_general(
+            q, kblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - Lrow)                          # (bi, bj) fp32
+        if has_padding:
+            col = jb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bi, block_k), 1)
+            p = jnp.where(col < nk, p, 0.)
+
+        dp = jax.lax.dot_general(
+            do, vblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (bi, bj) fp32
+        ds = p * (dp - Drow) * scale
+
+        return acc + jax.lax.dot_general(
+            ds.astype(kblk.dtype), kblk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((bi, d), jnp.float32))
+    dq_ref[0] = acc.astype(dq_ref.dtype)
+
+
+def _flash_mqa_bwd_dkv_kernel(q_ref, do_ref, L_ref, D_ref, k_ref, v_ref,
+                              dk_ref, dv_ref, *, scale, nk):
+    """dK/dV for one (batch, k-block) output tile, accumulated over the (head,
+    q-block) grid dimensions (multi-query: K/V are shared across heads, so their
+    grads sum over h)."""
+    first = jnp.logical_and(pl.program_id(2) == 0, pl.program_id(3) == 0)
+
+    @pl.when(first)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    q = q_ref[0, 0]                                    # (bq, d)
+    do = do_ref[0, 0]                                  # (bq, d)
+    Lrow = L_ref[0, 0, 0][:, None]                     # (bq, 1)
+    Drow = D_ref[0, 0, 0][:, None]
+    kblk = k_ref[0]                                    # (bk, d)
+    vblk = v_ref[0]
+    bq = q.shape[0]
+    block_k = kblk.shape[0]
+
+    s = jax.lax.dot_general(
+        q, kblk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale    # (bq, bk)
+    p = jnp.exp(s - Lrow)
+    # zero out padded key columns (their dk/dv rows stay 0 and are sliced off)
+    col = pl.program_id(1) * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (bq, block_k), 1)
+    p = jnp.where(col < nk, p, 0.)
+
+    # dV += P^T dO
+    dv_ref[0] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+    dp = jax.lax.dot_general(
+        do, vblk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (bq, bk)
+    ds = p * (dp - Drow) * scale
+
+    # dK += dS^T Q
+    dk_ref[0] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _flash_mqa_backward_impl(q, k, v, do, lse, delta, scale, block_q=None,
+                             block_k=512, interpret=False):
+    """(dq, dk, dv) via the two Pallas kernels. `delta` = rowsum(dO*O), (b, h, n)."""
+    b, h, n, d = q.shape
+    nk = k.shape[1]
+
+    block_q = block_q if block_q is not None else _pick_block_q(n)
+    block_q = min(block_q, n)
+    block_k = min(block_k, _round_up(nk, 128))
+    assert n % block_q == 0
+
+    nk_pad = _round_up(nk, block_k)
+    if nk_pad != nk:
+        pad = ((0, 0), (0, nk_pad - nk), (0, 0))
+        k_p = jnp.pad(k, pad)
+        v_p = jnp.pad(v, pad)
+    else:
+        k_p, v_p = k, v
+
+    q_r = q.reshape(b * h, n, d)
+    do_r = do.reshape(b * h, n, d)
+    lse_r = lse.reshape(b * h, 1, n)
+    delta_r = delta.reshape(b * h, 1, n)
+
+    # ---- dq: grid (b*h, q-blocks), stream key blocks --------------------------------
+    dq = pl.pallas_call(
+        functools.partial(_flash_mqa_bwd_dq_kernel, scale=scale, nk=nk,
+                          block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+        grid=(b * h, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, nk_pad, d), lambda bh, i, _h=h: (bh // _h, 0, 0)),
+            pl.BlockSpec((1, nk_pad, d), lambda bh, i, _h=h: (bh // _h, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, i: (bh, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, i: (bh, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+        interpret=interpret,
+    )(q_r, k_p, v_p, do_r, lse_r, delta_r).reshape(b, h, n, d)
+
+    # ---- dk/dv: grid (b, k-blocks, h, q-blocks); output blocks revisited across the
+    # two trailing grid dims and accumulated in place (multi-query head reduction)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_mqa_bwd_dkv_kernel, scale=scale, nk=nk),
+        out_shape=[jax.ShapeDtypeStruct((b, nk_pad, d), jnp.float32),
+                   jax.ShapeDtypeStruct((b, nk_pad, d), jnp.float32)],
+        grid=(b, nk_pad // block_k, h, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bb, jb, hh, qb: (bb, hh, qb, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bb, jb, hh, qb: (bb, hh, qb, 0)),
+            pl.BlockSpec((1, 1, 1, block_q),
+                         lambda bb, jb, hh, qb: (bb, hh, 0, qb)),
+            pl.BlockSpec((1, 1, 1, block_q),
+                         lambda bb, jb, hh, qb: (bb, hh, 0, qb)),
+            pl.BlockSpec((1, block_k, d), lambda bb, jb, hh, qb: (bb, jb, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bb, jb, hh, qb: (bb, jb, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda bb, jb, hh, qb: (bb, jb, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bb, jb, hh, qb: (bb, jb, 0)),
+        ],
+        interpret=interpret,
+    )(q, do, lse.reshape(b, h, 1, n), delta.reshape(b, h, 1, n), k_p, v_p)
+
+    dk = dk[:, :nk].astype(k.dtype)
+    dv = dv[:, :nk].astype(v.dtype)
+    return dq, dk, dv
+
+
+def _delta(do, o):
+    """D = rowsum(dO * O) in fp32 — XLA fuses this into one elementwise+reduce."""
+    return jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+
+# --- reference-semantics XLA fallbacks (tests + short sequences) --------------------------
+
 def _naive_mqa(q, k, v, scale):
-    """Reference-semantics attention (fp32 softmax) used for the backward pass."""
+    """Reference-semantics attention (fp32 softmax)."""
     sim = jnp.einsum('bhid,bjd->bhij', q, k) * scale
     attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(sim.dtype)
     return jnp.einsum('bhij,bjd->bhid', attn, v)
@@ -176,20 +398,24 @@ def _naive_cosine_mqa(q, k, v, q_scale, k_scale, scale):
         _xla_l2norm_scale(q, q_scale), _xla_l2norm_scale(k, k_scale), v, scale)
 
 
+# --- public entry points (custom VJP, flash both directions) -------------------------------
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_multiquery_attention(q, k, v, scale):
     """Flash multi-query attention over pre-normalized q/k: q (b,h,n,d), k/v (b,nk,d)."""
-    return _flash_mqa_forward(q, k, v, scale)
+    return _flash_mqa_forward(q, k, v, scale, interpret=_INTERPRET)
 
 
 def _fwd(q, k, v, scale):
-    return _flash_mqa_forward(q, k, v, scale), (q, k, v)
+    out, lse = _flash_mqa_forward(q, k, v, scale, return_stats=True,
+                                  interpret=_INTERPRET)
+    return out, (q, k, v, out, lse)
 
 
 def _bwd(scale, residuals, g):
-    q, k, v = residuals
-    _, vjp = jax.vjp(lambda q_, k_, v_: _naive_mqa(q_, k_, v_, scale), q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = residuals
+    return _flash_mqa_backward_impl(q, k, v, g, lse, _delta(g, o), scale,
+                                    interpret=_INTERPRET)
 
 
 flash_multiquery_attention.defvjp(_fwd, _bwd)
@@ -199,20 +425,28 @@ flash_multiquery_attention.defvjp(_fwd, _bwd)
 def flash_cosine_mqa(q, k, v, q_scale, k_scale, scale):
     """Fused cosine-sim flash attention: raw q/k + learned per-dim gains; the
     l2norm+gain prologue runs inside the kernel."""
-    return _flash_mqa_forward(q, k, v, scale, q_scale=q_scale, k_scale=k_scale)
+    return _flash_mqa_forward(q, k, v, scale, q_scale=q_scale, k_scale=k_scale,
+                              interpret=_INTERPRET)
 
 
 def _cos_fwd(q, k, v, q_scale, k_scale, scale):
-    out = _flash_mqa_forward(q, k, v, scale, q_scale=q_scale, k_scale=k_scale)
-    return out, (q, k, v, q_scale, k_scale)
+    out, lse = _flash_mqa_forward(q, k, v, scale, q_scale=q_scale, k_scale=k_scale,
+                                  return_stats=True, interpret=_INTERPRET)
+    return out, (q, k, v, q_scale, k_scale, out, lse)
 
 
 def _cos_bwd(scale, residuals, g):
-    q, k, v, q_scale, k_scale = residuals
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_, qs_, ks_: _naive_cosine_mqa(q_, k_, v_, qs_, ks_, scale),
-        q, k, v, q_scale, k_scale)
-    return vjp(g)
+    """Backward through the fused cosine prologue: recompute normalized q/k with XLA
+    (elementwise, fused), run the flash backward kernels at the normalized boundary,
+    then chain the l2norm+gain VJP for (dq, dq_scale) / (dk, dk_scale)."""
+    q, k, v, q_scale, k_scale, o, lse = residuals
+    qn, vjp_q = jax.vjp(_xla_l2norm_scale, q, q_scale)
+    kn, vjp_k = jax.vjp(_xla_l2norm_scale, k, k_scale)
+    dqn, dkn, dv = _flash_mqa_backward_impl(
+        qn, kn, v, g, lse, _delta(g, o), scale, interpret=_INTERPRET)
+    dq, dqs = vjp_q(dqn)
+    dk, dks = vjp_k(dkn)
+    return dq, dk, dv, dqs, dks
 
 
 flash_cosine_mqa.defvjp(_cos_fwd, _cos_bwd)
@@ -225,5 +459,9 @@ def flash_attention_available(q_len, dim_head, has_mask, has_bias):
     if q_len < FLASH_MIN_SEQ:
         return False
     if dim_head > 128:
+        return False
+    if _pick_block_q(q_len) is None:
+        # e.g. image_size=160 -> 40x40=1600 tokens: no aligned q-block tiles it;
+        # fall back to the XLA path instead of crashing at trace time
         return False
     return jax.default_backend() == 'tpu'

@@ -28,45 +28,73 @@ def test_flash_matches_naive(n, nk):
         np.asarray(out_flash), np.asarray(out_naive), atol=5e-4, rtol=1e-3)
 
 
-def test_flash_gradient_matches_naive():
+@pytest.fixture
+def interpret_mode():
+    """Route the public custom_vjp entry points through interpret-mode kernels."""
+    import imagen_tpu.ops.flash_attention as fa
+    fa._INTERPRET = True
+    yield fa
+    fa._INTERPRET = False
+
+
+def test_flash_gradient_matches_naive(interpret_mode):
+    """The Pallas backward kernels (dq + accumulated dkv) vs XLA autodiff of the
+    naive attention — exact up to fp32 accumulation-order noise."""
+    fa = interpret_mode
     key = jax.random.PRNGKey(1)
-    kq, kk, kv = jax.random.split(key, 3)
-    b, h, n, nk, d = 1, 2, 128, 130, 32
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    b, h, n, nk, d = 2, 3, 256, 300, 32
     q = jax.random.normal(kq, (b, h, n, d))
     k = jax.random.normal(kk, (b, nk, d))
     v = jax.random.normal(kv, (b, nk, d))
-
-    import imagen_tpu.ops.flash_attention as fa
-
-    # patch the fwd to interpret mode so custom_vjp runs on CPU
-    def fwd_interp(q, k, v, scale):
-        return fa._flash_mqa_forward(q, k, v, scale, block_q=64, block_k=128,
-                                     interpret=True), (q, k, v)
-
-    orig = fa.flash_multiquery_attention
-    flash = jax.custom_vjp(
-        lambda q, k, v, scale: fa._flash_mqa_forward(
-            q, k, v, scale, block_q=64, block_k=128, interpret=True),
-        nondiff_argnums=(3,))
-    flash.defvjp(lambda q, k, v, scale: fwd_interp(q, k, v, scale), fa._bwd)
+    g = jax.random.normal(kg, (b, h, n, d))
 
     def loss_flash(q, k, v):
-        return jnp.sum(flash(q, k, v, 8.) ** 2)
+        return jnp.sum(fa.flash_multiquery_attention(q, k, v, 8.) * g)
 
     def loss_naive(q, k, v):
-        return jnp.sum(fa._naive_mqa(q, k, v, 8.) ** 2)
+        return jnp.sum(fa._naive_mqa(q, k, v, 8.) * g)
 
     gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     gn = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gn):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                   atol=1e-3, rtol=1e-3)
+                                   atol=1e-2, rtol=1e-4)
+
+
+def test_flash_cosine_gradient_matches_naive(interpret_mode):
+    """Fused cosine variant: grads for q/k/v AND the learned per-dim gains, with the
+    l2norm VJP chained outside the kernels."""
+    fa = interpret_mode
+    key = jax.random.PRNGKey(2)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    b, h, n, nk, d = 2, 2, 256, 290, 32
+    q = jax.random.normal(kq, (b, h, n, d))
+    k = jax.random.normal(kk, (b, nk, d))
+    v = jax.random.normal(kv, (b, nk, d))
+    g = jax.random.normal(kg, (b, h, n, d))
+    qs = jax.random.uniform(jax.random.PRNGKey(5), (d,), minval=0.5, maxval=1.5)
+    ks = jax.random.uniform(jax.random.PRNGKey(6), (d,), minval=0.5, maxval=1.5)
+
+    def loss_flash(q, k, v, qs, ks):
+        return jnp.sum(fa.flash_cosine_mqa(q, k, v, qs, ks, 8.) * g)
+
+    def loss_naive(q, k, v, qs, ks):
+        return jnp.sum(fa._naive_cosine_mqa(q, k, v, qs, ks, 8.) * g)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3, 4))(q, k, v, qs, ks)
+    gn = jax.grad(loss_naive, argnums=(0, 1, 2, 3, 4))(q, k, v, qs, ks)
+    for a, b_ in zip(gf, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)
 
 
 def test_flash_gate():
     assert not flash_attention_available(256, 64, False, False)   # too short
     assert not flash_attention_available(4096, 64, True, False)   # masked
     assert not flash_attention_available(4096, 64, False, True)   # biased
+    # 40x40 fmap = 1600 tokens: no aligned block tiles it -> XLA fallback, no crash
+    assert not flash_attention_available(1600, 64, False, False)
     # long unmasked: gated only by backend (cpu in tests)
     expected = jax.default_backend() == 'tpu'
     assert flash_attention_available(4096, 64, False, False) == expected
