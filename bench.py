@@ -4,7 +4,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 North-star metrics (BASELINE.md): DDPM sampler steps/sec, images/sec/chip,
 p50 sec/image. The reference publishes no numbers (BASELINE.md: "published: {}"),
-so vs_baseline is reported as 1.0 by definition against our own recorded value.
+so vs_baseline is the regression/improvement ratio against OUR round-1 recorded
+numbers (BENCH_r01.json / BENCH.md) — >1.0 means faster than round 1.
 
 Config: base Unet (dim=128, mults 1-2-3-4, attn at 3 lower resolutions) at 64x64,
 batch 8, bf16 activations, mock T5 embeds (b, 256, 768), CFG cond_scale=3 (2 unet
@@ -21,6 +22,13 @@ TIMESTEPS = int(os.environ.get('BENCH_TIMESTEPS', 64))
 BATCH = int(os.environ.get('BENCH_BATCH', 8))
 COND_SCALE = float(os.environ.get('BENCH_COND_SCALE', 3.0))
 MODE = os.environ.get('BENCH_MODE', 'base64')  # 'base64' | 'cascade'
+
+# round-1 measured values on this hardware (BENCH_r01.json / BENCH.md) — the
+# regression gate for vs_baseline; keyed by (mode, default-config metric)
+ROUND1 = {
+    'base64': 91.2625,   # ddpm_sampler_steps_per_sec @ batch 8, 64 steps, CFG 3
+    'cascade': 3.21,     # 64->256 images/sec/chip @ batch 4, 64+32 steps, CFG 3
+}
 
 
 def build_imagen():
@@ -97,12 +105,13 @@ def main():
     images_per_sec = BATCH / elapsed
     sec_per_image = elapsed / BATCH
 
+    value = steps_per_sec if MODE == 'base64' else images_per_sec
     print(json.dumps({
         'metric': ('ddpm_sampler_steps_per_sec' if MODE == 'base64'
                    else 'cascade_64_256_images_per_sec_per_chip'),
-        'value': round(steps_per_sec if MODE == 'base64' else images_per_sec, 4),
+        'value': round(value, 4),
         'unit': 'steps/sec' if MODE == 'base64' else 'images/sec/chip',
-        'vs_baseline': 1.0,
+        'vs_baseline': round(value / ROUND1[MODE], 4),
         'images_per_sec_per_chip': round(images_per_sec, 4),
         'sampler_steps_per_sec': round(steps_per_sec, 3),
         'p50_sec_per_image': round(sec_per_image, 4),

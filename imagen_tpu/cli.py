@@ -1,18 +1,23 @@
 """Click CLI: `imagen sample | config | train`.
 
-Capability parity with the reference cli.py (/root/reference/imagen_pytorch/cli.py:1-195)
-with its latent bugs fixed (SURVEY.md §7): the `channels == 'LA'` comparison no-op
-(cli.py:126) and the `texts = [sample_texts]` list-nesting when sampling (cli.py:189).
+Command/option/config-key surface matches the reference cli.py
+(/root/reference/imagen_pytorch/cli.py:1-195) so existing configs and invocations
+carry over unchanged, with its latent bugs fixed (SURVEY.md §7): the
+`channels == 'LA'` comparison no-op (cli.py:126) and the `texts = [sample_texts]`
+list-nesting when sampling (cli.py:189).
 """
 from __future__ import annotations
 
 import json
 import pkgutil
+import re
 from pathlib import Path
 
 import click
 
 from imagen_tpu.version import __version__
+
+_CHANNEL_MODES = {1: 'L', 2: 'LA', 3: 'RGB', 4: 'RGBA'}
 
 
 def exists(val):
@@ -20,8 +25,18 @@ def exists(val):
 
 
 def simple_slugify(text: str, max_length=255):
-    return (text.replace('-', '_').replace(',', '').replace(' ', '_')
-            .replace('|', '--').strip('-_./\\')[:max_length])
+    """Filesystem-safe name for a prompt string."""
+    slug = re.sub(r'[,]+', '', text)
+    slug = re.sub(r'\|', '--', slug)
+    slug = re.sub(r'[-\s]+', '_', slug)
+    return slug.strip('-_./\\')[:max_length]
+
+
+def _require(path_str: str, kind: str) -> Path:
+    p = Path(path_str)
+    if not p.exists():
+        raise click.ClickException(f'{kind} does not exist: {p.resolve()}')
+    return p
 
 
 def main():
@@ -40,17 +55,16 @@ def imagen():
 @click.argument('text')
 def sample(model, cond_scale, load_ema, text):
     import jax
-    from imagen_tpu.utils.load import load_imagen_from_checkpoint, safeget
     from imagen_tpu.utils.checkpoint_io import get_fs, load_obj
+    from imagen_tpu.utils.load import load_imagen_from_checkpoint, safeget
 
-    model_path = Path(model)
-    full_model_path = str(model_path.resolve())
-    assert model_path.exists(), f'model not found at {full_model_path}'
+    model_path = _require(model, 'checkpoint')
 
-    loaded = load_obj(get_fs(model), model)
-    version = safeget(loaded, 'version')
-    print(f'loading Imagen from {full_model_path}, saved at version {version} - '
-          f'current package version is {__version__}')
+    ckpt_version = safeget(load_obj(get_fs(model), model), 'version')
+    if ckpt_version != __version__:
+        click.echo(f'note: checkpoint was written by imagen_tpu {ckpt_version}; '
+                   f'this is {__version__}')
+    click.echo(f'restoring cascade from {model_path.resolve()}')
 
     imagen_model, params = load_imagen_from_checkpoint(
         str(model_path), load_ema_if_available=load_ema)
@@ -59,18 +73,92 @@ def sample(model, cond_scale, load_ema, text):
         params, jax.random.PRNGKey(0), texts=[text], cond_scale=cond_scale,
         return_pil_images=True)
 
-    image_path = f'./{simple_slugify(text)}.png'
-    pil_images[0].save(image_path)
-
-    print(f'image saved to {str(image_path)}')
+    out = Path(f'./{simple_slugify(text)}.png')
+    pil_images[0].save(out)
+    click.echo(f'wrote {out}')
 
 
 @imagen.command(help='Generate a config for the Imagen model')
 @click.option('--path', default='./imagen_config.json', help='config output path')
 def config(path):
     data = pkgutil.get_data('imagen_tpu', 'default_config.json').decode('utf-8')
-    with open(path, 'w') as f:
-        f.write(data)
+    Path(path).write_text(data)
+
+
+# --- train ---------------------------------------------------------------------------------
+
+def _load_train_config(config_file):
+    cfg = json.loads(_require(config_file, 'config').read_text())
+    if 'checkpoint_path' not in cfg:
+        raise click.ClickException('config is missing "checkpoint_path"')
+    if 'batch_size' not in cfg.get('dataset', {}):
+        raise click.ClickException('config is missing dataset.batch_size')
+    return cfg
+
+
+def _build_trainer(cfg):
+    from imagen_tpu.configs import ElucidatedImagenConfig, ImagenConfig
+    from imagen_tpu.trainer import ImagenTrainer
+
+    klass = ElucidatedImagenConfig if cfg['type'] == 'elucidated' else ImagenConfig
+    model = klass(**cfg['imagen']).create()
+    trainer = ImagenTrainer(imagen=model, **cfg.get('trainer', {}))
+
+    ckpt = Path(cfg['checkpoint_path'])
+    if ckpt.exists():
+        click.echo(f'resuming from {ckpt}')
+        trainer.load(str(ckpt))
+    return model, trainer, ckpt
+
+
+def _pick_split(ds):
+    """Merge/choose HF dataset splits: train+valid if both exist, else whichever
+    is present, else the raw dataset object."""
+    from datasets import concatenate_datasets
+
+    have = [name for name in ('train', 'valid') if name in ds]
+    if len(have) == 2:
+        return concatenate_datasets([ds['train'], ds['valid']])
+    if have:
+        return ds[have[0]]
+    return ds
+
+
+def _register_dataset(cfg, model, trainer, unet):
+    from datasets import load_dataset
+
+    from imagen_tpu.data import Collator
+
+    n_channels = cfg['imagen'].get('channels', 3)
+    if n_channels not in _CHANNEL_MODES:
+        raise click.ClickException(
+            f'channels must be 1..4 (L/LA/RGB/RGBA), got {n_channels}')
+
+    train_ds = _pick_split(load_dataset(cfg['dataset_name']))
+    trainer.add_train_dataset(
+        ds=train_ds,
+        collate_fn=Collator(
+            image_size=cfg['imagen']['image_sizes'][unet - 1],
+            image_label=cfg['image_label'],
+            text_label=cfg['text_label'],
+            url_label=cfg['url_label'],
+            name=model.text_encoder_name,
+            channels=_CHANNEL_MODES[n_channels],
+        ),
+        **cfg['dataset'],
+    )
+
+
+class _Cadence:
+    """'do X every N epochs (skipping epoch 0)' helper for the config's
+    *_at_every keys."""
+
+    def __init__(self, every, enabled=True):
+        self.every = every or 0
+        self.enabled = enabled and self.every > 0
+
+    def hits(self, epoch):
+        return self.enabled and epoch > 0 and epoch % self.every == 0
 
 
 @imagen.command(help='Train the Imagen model')
@@ -82,99 +170,42 @@ def config(path):
 def train(config_file, unet, epoches):
     from tqdm import tqdm
 
-    from imagen_tpu.configs import ElucidatedImagenConfig, ImagenConfig
-    from imagen_tpu.data import Collator
-    from imagen_tpu.trainer import ImagenTrainer
+    cfg = _load_train_config(config_file)
+    model, trainer, ckpt = _build_trainer(cfg)
+    _register_dataset(cfg, model, trainer, unet)
 
-    config_path = Path(config_file)
-    full_config_path = str(config_path.resolve())
-    assert config_path.exists(), f'config not found at {full_config_path}'
+    max_batch_size = cfg.get('max_batch_size', 1)
+    sample_texts = cfg.get('sample_texts', [])
 
-    with open(config_path, 'r') as f:
-        config_data = json.loads(f.read())
+    validate = _Cadence(cfg.get('validate_at_every'),
+                        enabled=trainer.split_valid_from_train)
+    sample_every = _Cadence(cfg.get('sample_at_every'),
+                            enabled=bool(sample_texts))
+    save_every = _Cadence(cfg.get('save_at_every'))
+    if 'sample_at_every' in cfg and not sample_texts:
+        raise click.ClickException(
+            'sample_at_every is set but sample_texts is empty')
 
-    assert 'checkpoint_path' in config_data, 'checkpoint path not found in config'
-    model_path = Path(config_data['checkpoint_path'])
-
-    imagen_config_klass = (
-        ElucidatedImagenConfig if config_data['type'] == 'elucidated'
-        else ImagenConfig)
-    imagen_model = imagen_config_klass(**config_data['imagen']).create()
-
-    trainer = ImagenTrainer(imagen=imagen_model, **config_data.get('trainer', {}))
-
-    if model_path.exists():
-        print(f'loading checkpoint from {model_path}')
-        trainer.load(str(model_path))
-
-    size = config_data['imagen']['image_sizes'][unet - 1]
-    max_batch_size = config_data.get('max_batch_size', 1)
-
-    n_channels = config_data['imagen'].get('channels', 3)
-    assert 0 < n_channels < 5, \
-        'Imagen only supports 1 to 4 channels (L, LA, RGB, RGBA)'
-    channels = {1: 'L', 2: 'LA', 3: 'RGB', 4: 'RGBA'}[n_channels]
-
-    assert 'batch_size' in config_data['dataset'], \
-        'A batch_size is required in the config file'
-
-    from datasets import concatenate_datasets, load_dataset
-    ds = load_dataset(config_data['dataset_name'])
-
-    if 'train' in ds and 'valid' in ds:
-        train_ds = concatenate_datasets([ds['train'], ds['valid']])
-    elif 'train' in ds:
-        train_ds = ds['train']
-    elif 'valid' in ds:
-        train_ds = ds['valid']
-    else:
-        train_ds = ds
-    assert train_ds is not None, 'no train dataset found'
-
-    trainer.add_train_dataset(
-        ds=train_ds,
-        collate_fn=Collator(
-            image_size=size,
-            image_label=config_data['image_label'],
-            text_label=config_data['text_label'],
-            url_label=config_data['url_label'],
-            name=imagen_model.text_encoder_name,
-            channels=channels,
-        ),
-        **config_data['dataset'],
-    )
-
-    should_validate = (trainer.split_valid_from_train
-                       and 'validate_at_every' in config_data)
-    should_sample = ('sample_texts' in config_data
-                     and 'sample_at_every' in config_data)
-    should_save = 'save_at_every' in config_data
-
-    valid_at_every = config_data.get('validate_at_every', 0)
-    sample_at_every = config_data.get('sample_at_every', 0)
-    save_at_every = config_data.get('save_at_every', 0)
-    sample_texts = config_data.get('sample_texts', [])
-
-    assert not should_sample or len(sample_texts) > 0, \
-        'sample_texts must not be empty when sample_at_every is set'
-
-    for i in range(epoches):
-        for _ in tqdm(range(len(trainer.train_dl))):
+    steps_per_epoch = len(trainer.train_dl)
+    for epoch in range(epoches):
+        bar = tqdm(range(steps_per_epoch), desc=f'epoch {epoch}')
+        for _ in bar:
             loss = trainer.train_step(unet_number=unet,
                                       max_batch_size=max_batch_size)
-            print(f'loss: {loss}')
+            bar.set_postfix(loss=f'{loss:.4f}')
 
-        if should_validate and valid_at_every and not (i % valid_at_every) and i > 0:
+        if validate.hits(epoch):
             valid_loss = trainer.valid_step(unet_number=unet,
                                             max_batch_size=max_batch_size)
-            print(f'valid loss: {valid_loss}')
+            click.echo(f'epoch {epoch}: valid loss {valid_loss:.4f}')
 
-        if should_sample and sample_at_every and not (i % sample_at_every) and i > 0:
+        if sample_every.hits(epoch):
             images = trainer.sample(texts=sample_texts, batch_size=1,
-                                    return_pil_images=True, stop_at_unet_number=unet)
-            images[0].save(f'./sample-{i // 100}.png')
+                                    return_pil_images=True,
+                                    stop_at_unet_number=unet)
+            images[0].save(f'./sample-{epoch // 100}.png')
 
-        if should_save and save_at_every and not (i % save_at_every) and i > 0:
-            trainer.save(str(model_path))
+        if save_every.hits(epoch):
+            trainer.save(str(ckpt))
 
-    trainer.save(str(model_path))
+    trainer.save(str(ckpt))

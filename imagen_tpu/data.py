@@ -142,13 +142,26 @@ class Collator:
         )
 
     def transform_image(self, image):
+        """Resize shortest side to image_size then center-crop (the reference's
+        Resize+CenterCrop Collator transform, data.py:44-48) — aspect ratio is
+        preserved, not squashed."""
         from PIL import Image
         try:
             if isinstance(image, (bytes, bytearray)):
                 import io
                 image = Image.open(io.BytesIO(image))
             image = image.convert(self.channels)
-            image = image.resize((self.image_size, self.image_size), Image.BILINEAR)
+
+            w, h = image.size
+            scale = self.image_size / min(w, h)
+            nw, nh = max(self.image_size, round(w * scale)), \
+                max(self.image_size, round(h * scale))
+            image = image.resize((nw, nh), Image.BILINEAR)
+            left = (nw - self.image_size) // 2
+            top = (nh - self.image_size) // 2
+            image = image.crop(
+                (left, top, left + self.image_size, top + self.image_size))
+
             arr = np.asarray(image, dtype=np.float32) / 255.0
             if arr.ndim == 2:
                 arr = arr[..., None]
@@ -217,7 +230,8 @@ class DataLoader:
     def __len__(self):
         n = len(self.dataset)
         if self.drop_last:
-            return n // self.batch_size
+            # never report zero batches for a non-empty dataset (see __iter__)
+            return max(n // self.batch_size, 1 if n else 0)
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
@@ -226,7 +240,11 @@ class DataLoader:
             self._rng.shuffle(indices)
         for start in range(0, len(indices), self.batch_size):
             chunk = indices[start:start + self.batch_size]
-            if self.drop_last and len(chunk) < self.batch_size:
+            if self.drop_last and len(chunk) < self.batch_size and start > 0:
+                # drop a trailing partial batch — but if the WHOLE dataset is
+                # smaller than batch_size (start == 0), yield it anyway: a loader
+                # that never yields livelocks `cycle()` (e.g. a tiny auto-split
+                # validation set with a large batch_size)
                 break
             batch = self.collate_fn([self.dataset[i] for i in chunk])
             if batch is None:

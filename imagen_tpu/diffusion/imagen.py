@@ -717,8 +717,15 @@ class Imagen:
         if not return_all_unet_outputs:
             outputs = outputs[-1:]
 
-        assert not self.is_video, \
-            'converting sampled video tensors to video files is not supported yet'
+        if self.is_video:
+            # per-video lists of per-frame PIL images; write to disk with
+            # imagen_tpu.utils.video_io.save_video(s) (.gif/.mp4/.npy).
+            # Beyond-reference: the reference asserts this unsupported.
+            from imagen_tpu.utils.video_io import video_tensor_to_pil_frames
+            pil_videos = [
+                [video_tensor_to_pil_frames(vid) for vid in out]
+                for out in outputs]
+            return pil_videos[output_index]
 
         from PIL import Image
         pil_images = [

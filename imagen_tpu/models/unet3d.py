@@ -238,8 +238,18 @@ class Unet3D(nn.Module):
             n = post_cond_video_frames.shape[1]
             assert n % self.total_temporal_divisor == 0
             post_cond_video_frames = resize_video_to(post_cond_video_frames, x.shape[-2])
-            x = jnp.concatenate((post_cond_video_frames.astype(x.dtype), x), axis=1)
+            # APPENDED on the frame axis — consistent with the lowres concat above
+            # and the end-of-video output crop below. The reference PREPENDS here
+            # (imagen_video.py:1715) yet crops from the end (:1935-1939), silently
+            # misaligning succeeding-frame conditioning with its crop; fixed, like
+            # the other reference bugs listed in SURVEY.md §7.
+            x = jnp.concatenate((x, post_cond_video_frames.astype(x.dtype)), axis=1)
             num_succeeding_frames = n
+
+        if num_preceding_frames or num_succeeding_frames:
+            # expose the [preceding | video | succeeding] frame layout so tests can
+            # assert prompt-frame/crop alignment (test_unet3d.py)
+            self.sow('intermediates', 'assembled_frames', x)
 
         assert not (self.has_cond_image ^ exists(cond_images))
         if exists(cond_images):

@@ -50,11 +50,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a batch pytree with its leading axis sharded over 'data'."""
+    """Place a batch pytree with its leading axis sharded over 'data'.
+
+    Single-process: plain `device_put` onto the sharding. Multi-process (each
+    host loads its own slice of the global batch): assemble the global array
+    from process-local data with `jax.make_array_from_process_local_data` —
+    `device_put` of a host-local array onto a global mesh would be wrong there
+    (every host would claim its local rows are the whole batch). The reference
+    delegates this split to Accelerate (trainer.py:467-477).
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding) if hasattr(x, 'shape') and x.ndim > 0
-        else x, batch)
+    multiprocess = jax.process_count() > 1
+
+    def place(x):
+        if not (hasattr(x, 'shape') and x.ndim > 0):
+            return x
+        if multiprocess:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(place, batch)
 
 
 def replicate(mesh: Mesh, tree):

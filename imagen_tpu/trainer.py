@@ -48,9 +48,11 @@ def groupby_prefix_and_trim(prefix, d):
 def split_batch_for_accum(batch, max_batch_size):
     """Reshape batch arrays (b, ...) -> (n_chunks, mb, ...) for scan accumulation.
 
-    Falls back to no chunking when the batch does not divide evenly (the reference
-    supports ragged chunks on host, trainer.py:137-160; under jit ragged chunks would
-    force recompilation, so we keep static shapes).
+    Only used when the batch divides evenly; ragged batches take the host-chunked
+    path (`split_batch_ragged`) instead so `max_batch_size` is ALWAYS honored as a
+    peak-memory cap (the reference supports ragged chunks on host,
+    trainer.py:137-160; under jit ragged chunks inside one scan would force dynamic
+    shapes, so they run as at-most-two static programs instead).
     """
     b = jax.tree_util.tree_leaves(batch)[0].shape[0]
     if not exists(max_batch_size) or b <= max_batch_size or b % max_batch_size != 0:
@@ -60,10 +62,44 @@ def split_batch_for_accum(batch, max_batch_size):
         lambda x: x.reshape(n_chunks, max_batch_size, *x.shape[1:]), batch), n_chunks
 
 
+def split_batch_ragged(batch, max_batch_size):
+    """Host-split a ragged batch into full chunks + one remainder chunk.
+
+    Returns (chunks, sizes): at most two distinct chunk shapes, so at most two
+    compiled programs regardless of batch size. Loss/grads must be re-weighted by
+    `sizes` (each chunk's loss is a mean over its own rows)."""
+    b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+    q, r = divmod(b, max_batch_size)
+    chunks = [
+        jax.tree_util.tree_map(
+            lambda x, i=i: x[i * max_batch_size:(i + 1) * max_batch_size], batch)
+        for i in range(q)]
+    sizes = [max_batch_size] * q
+    if r:
+        chunks.append(jax.tree_util.tree_map(
+            lambda x: x[q * max_batch_size:], batch))
+        sizes.append(r)
+    return chunks, sizes
+
+
+def _is_ragged(batch, max_batch_size):
+    if not exists(max_batch_size):
+        return False
+    present = [v for v in batch.values() if exists(v)]
+    b = jax.tree_util.tree_leaves(present)[0].shape[0]
+    return b > max_batch_size and b % max_batch_size != 0
+
+
 def cycle(dl):
     while True:
+        got_any = False
         for data in dl:
+            got_any = True
             yield data
+        if not got_any:
+            raise RuntimeError(
+                'dataloader yielded no batches (empty dataset, or every row was '
+                'dropped by the collator) — cycling it would spin forever')
 
 
 def _as_list(maybe_dict):
@@ -490,8 +526,37 @@ class ImagenTrainer:
         batch = {k: jnp.asarray(v) for k, v in batch.items() if exists(v)}
         batch, n_chunks = split_batch_for_accum(batch, max_batch_size)
         if exists(self.mesh):
-            batch = shard_batch(self.mesh, batch)
+            b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            if b % self.mesh.shape['data'] == 0:
+                batch = shard_batch(self.mesh, batch)
         return batch, n_chunks
+
+    def _grads_for_batch(self, index, batch, max_batch_size):
+        """(loss, grads) honoring max_batch_size for ANY batch size.
+
+        Even split -> one jitted scan over microbatches. Ragged -> host loop over
+        at most two compiled chunk programs, loss/grads weighted by real chunk
+        sizes (reference ragged chunking, trainer.py:137-160)."""
+        if not _is_ragged(batch, max_batch_size):
+            batch, n_chunks = self._prep_batch(batch, max_batch_size)
+            self.rng, key = jax.random.split(self.rng)
+            return self._get_step_fn('grad', index, n_chunks)(
+                self.params[index], batch, key)
+
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if exists(v)}
+        chunks, sizes = split_batch_ragged(batch, max_batch_size)
+        total = sum(sizes)
+        loss_acc, grad_acc = 0., None
+        for chunk, size in zip(chunks, sizes):
+            self.rng, key = jax.random.split(self.rng)
+            l, g = self._get_step_fn('grad', index, 1)(
+                self.params[index], chunk, key)
+            w = size / total
+            loss_acc = loss_acc + l * w
+            weighted = jax.tree_util.tree_map(lambda x: x * w, g)
+            grad_acc = weighted if grad_acc is None else jax.tree_util.tree_map(
+                jnp.add, grad_acc, weighted)
+        return loss_acc, grad_acc
 
     # --- public training API --------------------------------------------------------------
 
@@ -514,16 +579,25 @@ class ImagenTrainer:
         self._ensure_state(index)
 
         batch = {**batch, **extra}
-        batch, n_chunks = self._prep_batch(batch, max_batch_size)
 
-        self.rng, key = jax.random.split(self.rng)
-        step_fn = self._get_step_fn('train', index, n_chunks)
         self.step_timer.start()
-        (self.params[index], self.opt_states[index], self.ema_params[index],
-         new_step, loss) = step_fn(
-            self.params[index], self.opt_states[index], self.ema_params[index],
-            jnp.asarray(self.steps[index]), batch, key)
-        loss = float(loss)  # device sync
+        if _is_ragged(batch, max_batch_size):
+            # ragged: grads accumulate across host chunks, then one optimizer step
+            loss, grads = self._grads_for_batch(index, batch, max_batch_size)
+            (self.params[index], self.opt_states[index], self.ema_params[index],
+             _) = self._get_step_fn('update', index)(
+                self.params[index], self.opt_states[index], self.ema_params[index],
+                jnp.asarray(self.steps[index]), grads)
+            loss = float(loss)
+        else:
+            batch, n_chunks = self._prep_batch(batch, max_batch_size)
+            self.rng, key = jax.random.split(self.rng)
+            step_fn = self._get_step_fn('train', index, n_chunks)
+            (self.params[index], self.opt_states[index], self.ema_params[index],
+             new_step, loss) = step_fn(
+                self.params[index], self.opt_states[index], self.ema_params[index],
+                jnp.asarray(self.steps[index]), batch, key)
+            loss = float(loss)  # device sync
         self.step_timer.stop()
         self.steps[index] += 1
 
@@ -542,12 +616,22 @@ class ImagenTrainer:
         self._ensure_state(index)
 
         batch = {**batch, **kwargs}
-        batch, n_chunks = self._prep_batch(batch, max_batch_size)
         params = self.ema_params[index] if (use_ema and self.use_ema) \
             else self.params[index]
-
-        self.rng, key = jax.random.split(self.rng)
         loss_fn = self._get_step_fn('loss', index)
+
+        if _is_ragged(batch, max_batch_size):
+            batch = {k: jnp.asarray(v) for k, v in batch.items() if exists(v)}
+            chunks, sizes = split_batch_ragged(batch, max_batch_size)
+            total = sum(sizes)
+            loss = 0.
+            for chunk, size in zip(chunks, sizes):
+                self.rng, key = jax.random.split(self.rng)
+                loss = loss + loss_fn(params, chunk, key) * (size / total)
+            return float(loss)
+
+        batch, n_chunks = self._prep_batch(batch, max_batch_size)
+        self.rng, key = jax.random.split(self.rng)
         if n_chunks == 1:
             loss = loss_fn(params, batch, key)
         else:
@@ -561,26 +645,42 @@ class ImagenTrainer:
 
     def forward(self, *, unet_number=None, max_batch_size=None, **batch):
         """Loss + gradient accumulation without the optimizer step (two-phase API
-        parity with reference trainer.py:963-989; follow with `update`)."""
+        parity with reference trainer.py:963-989; follow with `update`).
+
+        Repeated forward() calls before update() ACCUMULATE (the reference
+        accumulates into .grad via loss.backward, trainer.py:987): pending grads
+        are a batch-size-weighted running sum, normalized in update(), so
+        N x forward(b/N) + update() matches one train_step(b)."""
         unet_number = self.validate_unet_number(unet_number)
         index = unet_number - 1
         self._ensure_state(index)
 
-        batch, n_chunks = self._prep_batch(batch, max_batch_size)
-        self.rng, key = jax.random.split(self.rng)
-        loss, grads = self._get_step_fn('grad', index, n_chunks)(
-            self.params[index], batch, key)
-        self._pending_grads = (index, grads)
+        b = jax.tree_util.tree_leaves(
+            {k: v for k, v in batch.items() if exists(v)})[0].shape[0]
+        loss, grads = self._grads_for_batch(index, batch, max_batch_size)
+
+        weighted = jax.tree_util.tree_map(lambda g: g * float(b), grads)
+        if exists(self._pending_grads):
+            p_index, p_grads, p_weight = self._pending_grads
+            assert p_index == index, \
+                'accumulated forward() calls must target the same unet'
+            self._pending_grads = (
+                index, jax.tree_util.tree_map(jnp.add, p_grads, weighted),
+                p_weight + b)
+        else:
+            self._pending_grads = (index, weighted, b)
         return float(loss)
 
     def update(self, unet_number=None):
-        """Apply pending gradients; reference trainer.py:902-945."""
+        """Apply pending gradients (mean over every sample seen by the forward()
+        calls since the last update); reference trainer.py:902-945."""
         unet_number = self.validate_unet_number(unet_number)
         index = unet_number - 1
         assert exists(self._pending_grads) and self._pending_grads[0] == index, \
             'call forward(...) before update()'
-        _, grads = self._pending_grads
+        _, grads, weight = self._pending_grads
         self._pending_grads = None
+        grads = jax.tree_util.tree_map(lambda g: g / float(weight), grads)
 
         (self.params[index], self.opt_states[index], self.ema_params[index],
          _) = self._get_step_fn('update', index)(

@@ -22,10 +22,21 @@ def get_fs(path_or_url, fs=None, fs_kwargs=None):
 
 
 def to_host(tree):
-    """Device arrays -> numpy (gathered if sharded); python scalars/strings pass."""
+    """Device arrays -> numpy (gathered if sharded); python scalars/strings pass.
+
+    Multi-process: arrays sharded across processes are not fully addressable
+    locally, so np.asarray would fail — gather them first (process_allgather is a
+    no-op layout-wise for replicated arrays). Single-process (incl. the usual
+    replicated-DP case) stays a plain copy."""
+    multiprocess = jax.process_count() > 1
+
     def conv(x):
         if isinstance(x, (str, bytes, bool, int, float)) or x is None:
             return x
+        if multiprocess and isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(
+                x, tiled=True))
         return np.asarray(x)
     return jax.tree_util.tree_map(conv, tree)
 

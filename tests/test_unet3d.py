@@ -133,6 +133,39 @@ def test_unet3d_cond_video_frames():
     assert out.shape == x.shape
 
 
+def test_unet3d_prompt_frame_alignment():
+    """Preceding frames PREPEND, succeeding frames APPEND, and the output crop
+    removes exactly those positions — i.e. output frame t corresponds to input
+    video frame t. The reference prepends succeeding frames yet crops from the end
+    (imagen_video.py:1715 vs :1935-1939), silently misaligning; we fix it and pin
+    the layout here via the sown 'assembled_frames' intermediate."""
+    unet = Unet3D(**TINY)
+    x, time, text, mask = make_inputs(f=4)
+    pre = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 8, 8, 3))
+    post = jax.random.normal(jax.random.PRNGKey(4), (1, 2, 8, 8, 3))
+    variables = unet.init(
+        {'params': KEY}, x, time, text_embeds=text, text_mask=mask,
+        cond_video_frames=pre, post_cond_video_frames=post)
+
+    out, mods = unet.apply(
+        variables, x, time, text_embeds=text, text_mask=mask,
+        cond_video_frames=pre, post_cond_video_frames=post,
+        mutable=['intermediates'])
+    assembled = mods['intermediates']['assembled_frames'][0]
+
+    n_pre, f, n_post = pre.shape[1], x.shape[1], post.shape[1]
+    assert assembled.shape[1] == n_pre + f + n_post
+    # layout: [preceding | video | succeeding] on the frame axis
+    np.testing.assert_allclose(
+        np.asarray(assembled[:, :n_pre]), np.asarray(pre), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(assembled[:, n_pre:n_pre + f]), np.asarray(x), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(assembled[:, n_pre + f:]), np.asarray(post), rtol=1e-6)
+    # crop removes exactly the prompt positions
+    assert out.shape == x.shape
+
+
 def test_unet3d_layer_attn_and_memory_efficient():
     unet = Unet3D(**{**TINY, 'layer_attns': (False, True)}, memory_efficient=True)
     x, time, text, mask = make_inputs(f=2)
