@@ -84,19 +84,55 @@ class TorchLayerNorm(nn.Module):
 
 # --- feedforward ------------------------------------------------------------------------
 
+class _ParamOnly(nn.Module):
+    """Named scope holding one param — lets a module keep the param tree of a
+    submodule chain while routing compute through a fused kernel."""
+    shape: Tuple[int, ...]
+    init: Any
+    pname: str = 'kernel'
+
+    @nn.compact
+    def __call__(self):
+        return self.param(self.pname, self.init, self.shape)
+
+
 class FeedForward(nn.Module):
     """LayerNorm -> Dense -> GELU -> LayerNorm -> Dense, no biases.
 
     Reference imagen_pytorch.py:972-980; in NHWC it is also ChanFeedForward (:982-990)
     since 1x1 convs are trailing-axis Denses.
+
+    On TPU the whole chain runs as one Pallas program per row block
+    (`ops.fused_norm.fused_feedforward`): both weight matrices stay VMEM-resident,
+    x is read once and the output written once — XLA runs the same chain as ~5
+    HBM passes with slow cross-lane LayerNorm stat reductions. Param tree is
+    identical on both routes.
     """
     mult: float = 2.
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        from imagen_tpu.ops.fused_norm import (
+            fused_feedforward, fused_feedforward_available)
+
         dim = x.shape[-1]
         hidden_dim = int(dim * self.mult)
+
+        rows = 1
+        for s in x.shape[:-1]:
+            rows *= s
+        x_c = x.astype(self.dtype)
+        if fused_feedforward_available(rows, dim, hidden_dim, self.dtype):
+            ones = nn.initializers.ones
+            lecun = nn.initializers.lecun_normal()
+            g0 = _ParamOnly((dim,), ones, 'g', name='LayerNorm_0')()
+            w0 = _ParamOnly((dim, hidden_dim), lecun, name='Dense_0')()
+            g1 = _ParamOnly((hidden_dim,), ones, 'g', name='LayerNorm_1')()
+            w1 = _ParamOnly((hidden_dim, dim), lecun, name='Dense_1')()
+            eps = 1e-5 if self.dtype == jnp.float32 else 1e-3
+            return fused_feedforward(x_c, g0, w0, g1, w1, eps)
+
         x = LayerNorm(dtype=self.dtype)(x)
         x = nn.Dense(hidden_dim, use_bias=False, dtype=self.dtype)(x)
         x = jax.nn.gelu(x, approximate=False)
