@@ -19,15 +19,21 @@ import jax
 import jax.numpy as jnp
 
 TIMESTEPS = int(os.environ.get('BENCH_TIMESTEPS', 64))
-BATCH = int(os.environ.get('BENCH_BATCH', 8))
 COND_SCALE = float(os.environ.get('BENCH_COND_SCALE', 3.0))
-MODE = os.environ.get('BENCH_MODE', 'base64')  # 'base64' | 'cascade'
+# 'base64' | 'cascade' | 'sr1024' | 'edm' | 'video'
+MODE = os.environ.get('BENCH_MODE', 'base64')
+_DEFAULT_BATCH = {'base64': 8, 'cascade': 4, 'edm': 4, 'sr1024': 1, 'video': 1}
+BATCH = int(os.environ.get('BENCH_BATCH', 0)) or _DEFAULT_BATCH.get(MODE, 8)
+VIDEO_FRAMES = int(os.environ.get('BENCH_VIDEO_FRAMES', 16))
 
 # round-1 measured values on this hardware (BENCH_r01.json / BENCH.md) — the
-# regression gate for vs_baseline; keyed by (mode, default-config metric)
+# regression gate for vs_baseline; keyed by mode, all higher-is-better
 ROUND1 = {
-    'base64': 91.2625,   # ddpm_sampler_steps_per_sec @ batch 8, 64 steps, CFG 3
-    'cascade': 3.21,     # 64->256 images/sec/chip @ batch 4, 64+32 steps, CFG 3
+    'base64': 91.2625,     # ddpm_sampler_steps_per_sec @ batch 8, 64 steps, CFG 3
+    'cascade': 3.21,       # 64->256 images/sec/chip @ batch 4, 64+32 steps, CFG 3
+    'sr1024': 1 / 7.21,    # 256->1024 SR tail images/sec @ batch 1, 32 steps, CFG 3
+    'edm': 1.50,           # EDM 64->256 images/sec/chip @ batch 4, 64+32 steps, CFG 3
+    'video': 1 / 1.38,     # 16-frame 64px clips/sec @ batch 1, 32 steps, CFG 3
 }
 
 
@@ -52,7 +58,25 @@ def build_imagen():
             unets=(base,), image_sizes=(64,), text_embed_dim=768,
             timesteps=TIMESTEPS, cond_drop_prob=0.1)
 
-    # BASELINE config 2 shape: base 64 + memory-efficient SR 256 (scaled dims)
+    if MODE == 'video':
+        from imagen_tpu.models.unet3d import Unet3D
+        unet3d = Unet3D(
+            dim=64,
+            dim_mults=(1, 2, 4),
+            num_resnet_blocks=2,
+            # round-1 recorded config: causal temporal attention + pseudo-3D
+            # convs only (no flattened spatial self-attention)
+            layer_attns=False,
+            layer_cross_attns=(False, True, True),
+            text_embed_dim=768,
+            max_text_len=256,
+            dtype=jnp.bfloat16,
+        )
+        return Imagen(
+            unets=(unet3d,), image_sizes=(64,),
+            text_embed_dim=768, timesteps=TIMESTEPS // 2, cond_drop_prob=0.1)
+
+    # memory-efficient SR unet (BASELINE configs 2-4 upper stages, scaled dims)
     sr = Unet(
         dim=64,
         dim_mults=(1, 2, 4, 8),
@@ -66,24 +90,98 @@ def build_imagen():
         memory_efficient=True,
         dtype=jnp.bfloat16,
     )
-    return Imagen(
-        unets=(base, sr), image_sizes=(64, 256), text_embed_dim=768,
-        timesteps=(TIMESTEPS, TIMESTEPS // 2), cond_drop_prob=0.1)
+    if MODE == 'cascade':
+        return Imagen(
+            unets=(base, sr), image_sizes=(64, 256), text_embed_dim=768,
+            timesteps=(TIMESTEPS, TIMESTEPS // 2), cond_drop_prob=0.1)
+
+    if MODE == 'sr1024':
+        # BASELINE config 4: 256->1024 tail alone, stage 1 skipped (NullUnet)
+        from imagen_tpu.models.unet2d import NullUnet
+        return Imagen(
+            unets=(NullUnet(), sr), image_sizes=(256, 1024),
+            text_embed_dim=768, timesteps=(TIMESTEPS, TIMESTEPS // 2),
+            cond_drop_prob=0.1)
+
+    if MODE == 'edm':
+        from imagen_tpu.diffusion.elucidated import ElucidatedImagen
+        return ElucidatedImagen(
+            unets=(base, sr), image_sizes=(64, 256), text_embed_dim=768,
+            num_sample_steps=(TIMESTEPS, TIMESTEPS // 2), cond_drop_prob=0.1)
+
+    raise ValueError(f'unknown BENCH_MODE {MODE!r}')
+
+
+V5E_BF16_PEAK = 197e12  # TPU v5e (lite) bf16 peak FLOP/s
+
+
+def _flops_per_step(imagen, params):
+    """XLA cost-analysis FLOPs of one sampler step (one CFG-doubled base-unet
+    forward), lowered on the XLA-only path — cost analysis cannot see inside
+    pallas calls, and the Pallas kernels compute the same math."""
+    os.environ['IMAGEN_TPU_DISABLE_PALLAS'] = '1'
+    try:
+        unet = imagen.unets[0]
+        b2 = 2 * BATCH  # CFG doubling
+        size = imagen.image_sizes[0]
+        x = jnp.zeros((b2, size, size, imagen.channels), jnp.bfloat16)
+        t = jnp.zeros((b2,), jnp.float32)
+        te = jnp.zeros((b2, 256, 768), jnp.bfloat16)
+        tm = jnp.ones((b2, 256), bool)
+        fwd = lambda p, x, t, te, tm: unet.apply(
+            p, x, t, text_embeds=te, text_mask=tm)
+        compiled = jax.jit(fwd).lower(params[0], x, t, te, tm).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        return float(ca['flops'])
+    except Exception:
+        return None
+    finally:
+        os.environ.pop('IMAGEN_TPU_DISABLE_PALLAS', None)
+
+
+_METRIC = {
+    'base64': ('ddpm_sampler_steps_per_sec', 'steps/sec'),
+    'cascade': ('cascade_64_256_images_per_sec_per_chip', 'images/sec/chip'),
+    'sr1024': ('sr_256_1024_images_per_sec_per_chip', 'images/sec/chip'),
+    'edm': ('edm_cascade_64_256_images_per_sec_per_chip', 'images/sec/chip'),
+    'video': ('video_16f_64px_clips_per_sec_per_chip', 'clips/sec/chip'),
+}
+
+_TOTAL_STEPS = {
+    'base64': lambda: TIMESTEPS,
+    'cascade': lambda: TIMESTEPS + TIMESTEPS // 2,
+    'edm': lambda: TIMESTEPS + TIMESTEPS // 2,
+    'sr1024': lambda: TIMESTEPS // 2,   # NullUnet stage is skipped
+    'video': lambda: TIMESTEPS // 2,
+}
 
 
 def main():
     imagen = build_imagen()
 
     key = jax.random.PRNGKey(0)
-    params = imagen.init_params(key, batch_size=1, text_len=256)
+    init_kwargs = dict(batch_size=1, text_len=256)
+    if MODE == 'video':
+        init_kwargs['video_frames'] = VIDEO_FRAMES
+    params = imagen.init_params(key, **init_kwargs)
     text_embeds = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 256, 768))
     text_masks = jnp.ones((BATCH, 256), bool)
+
+    sample_kwargs = dict(text_embeds=text_embeds, text_masks=text_masks,
+                         cond_scale=COND_SCALE)
+    if MODE == 'video':
+        sample_kwargs['video_frames'] = VIDEO_FRAMES
+    if MODE == 'sr1024':
+        sample_kwargs['start_at_unet_number'] = 2
+        sample_kwargs['start_image_or_video'] = jnp.clip(
+            jax.random.uniform(jax.random.PRNGKey(4), (BATCH, 256, 256, 3)),
+            0., 1.)
 
     import numpy as np
 
     def run(k):
-        out = imagen.sample(params, k, text_embeds=text_embeds,
-                            text_masks=text_masks, cond_scale=COND_SCALE)
+        out = imagen.sample(params, k, **sample_kwargs)
         # NB: block_until_ready does not reliably block on the axon tunnel
         # platform; a device->host copy of the result cannot be faked.
         np.asarray(out[0, 0, 0])
@@ -100,17 +198,24 @@ def main():
         times.append(time.perf_counter() - t0)
 
     elapsed = min(times)
-    total_steps = TIMESTEPS if MODE == 'base64' else TIMESTEPS + TIMESTEPS // 2
+    total_steps = _TOTAL_STEPS[MODE]()
     steps_per_sec = total_steps / elapsed
     images_per_sec = BATCH / elapsed
     sec_per_image = elapsed / BATCH
 
     value = steps_per_sec if MODE == 'base64' else images_per_sec
+
+    mfu = None
+    if MODE == 'base64':
+        fps = _flops_per_step(imagen, params)
+        if fps is not None:
+            mfu = round(fps * steps_per_sec / V5E_BF16_PEAK, 4)
+
+    metric, unit = _METRIC[MODE]
     print(json.dumps({
-        'metric': ('ddpm_sampler_steps_per_sec' if MODE == 'base64'
-                   else 'cascade_64_256_images_per_sec_per_chip'),
+        'metric': metric,
         'value': round(value, 4),
-        'unit': 'steps/sec' if MODE == 'base64' else 'images/sec/chip',
+        'unit': unit,
         'vs_baseline': round(value / ROUND1[MODE], 4),
         'images_per_sec_per_chip': round(images_per_sec, 4),
         'sampler_steps_per_sec': round(steps_per_sec, 3),
@@ -120,6 +225,7 @@ def main():
         'cond_scale': COND_SCALE,
         'mode': MODE,
         'device': str(jax.devices()[0]),
+        **({'mfu': mfu} if mfu is not None else {}),
     }))
 
 

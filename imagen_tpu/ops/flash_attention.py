@@ -36,6 +36,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # Minimum query length for the flash path to pay off (below this the sim matrix is
 # tiny and XLA's fused path is faster to compile and run).
@@ -87,83 +88,94 @@ def _l2norm_scale(x, gain, eps=1e-12):
 
 def _flash_mqa_kernel(q_ref, k_ref, v_ref, o_ref, l_ref=None, *, scale, nk, block_k,
                       fuse_l2norm, q_scale_ref=None):
-    """One (batch*head, i-block) program: stream key blocks with online softmax.
+    """One-shot program: the whole padded key axis is a single block
+    (block_k == nk_pad), so the online-softmax rescaling collapses to one plain
+    softmax over the full similarity tile — measured ~27% faster at the unet's
+    32x32 attention shape (n=1024, nk=1281 on v5e) than streaming 512-wide key
+    blocks.
 
     Matmuls keep their input dtype (bf16 runs the MXU at full rate) and accumulate
     fp32 via preferred_element_type; softmax statistics stay fp32. Keys arrive
     pre-normalized on the cosine path (the k l2norm is a single fused XLA pass
     outside the kernel — re-normalizing per program wastes VPU time); only the
     q-norm is fused here, since q is loaded exactly once per program.
-
-    When the whole padded key axis is a single block (block_k == nk_pad), the
-    online-softmax rescaling collapses to one plain softmax over the full
-    similarity tile — measured ~27% faster at the unet's 32x32 attention shape
-    (n=1024, nk=1281 on v5e) than streaming 512-wide key blocks.
     """
+    del block_k
     q = q_ref[0]                                      # (bi, d), input dtype
     if fuse_l2norm:
         q = _l2norm_scale(q, q_scale_ref[0].astype(jnp.float32))
     bi = q.shape[0]
-    d = q.shape[1]
     nk_pad = k_ref.shape[1]
-    num_kb = nk_pad // block_k
 
-    has_padding = nk != nk_pad
-
-    if num_kb == 1:  # one-shot: single tile, no rescaling passes
-        kblk = k_ref[0]
-        vblk = v_ref[0]
-        s = jax.lax.dot_general(
-            q, kblk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        if has_padding:
-            col = jax.lax.broadcasted_iota(jnp.int32, (bi, nk_pad), 1)
-            s = jnp.where(col < nk, s, _NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        acc = jax.lax.dot_general(
-            p.astype(vblk.dtype), vblk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[0] = (acc / l).astype(o_ref.dtype)
-        if l_ref is not None:
-            l_ref[0, 0] = (m + jnp.log(l))[:, 0]
-        return
-
-    def process(jb, carry, masked):
-        acc, m, l = carry
-        kblk = k_ref[0, pl.ds(jb * block_k, block_k), :]
-        vblk = v_ref[0, pl.ds(jb * block_k, block_k), :]
-
-        s = jax.lax.dot_general(
-            q, kblk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # (bi, bj) fp32
-
-        if masked:  # only the final block can contain padding (keys >= nk)
-            col = jb * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (bi, block_k), 1)
-            s = jnp.where(col < nk, s, _NEG_INF)
-
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p.astype(vblk.dtype), vblk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return acc_new, m_new, l_new
-
-    acc0 = jnp.zeros((bi, d), jnp.float32)
-    m0 = jnp.full((bi, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bi, 1), jnp.float32)
-    carry = jax.lax.fori_loop(
-        0, num_kb - 1, lambda jb, c: process(jb, c, masked=False),
-        (acc0, m0, l0))
-    acc, m, l = process(num_kb - 1, carry, masked=has_padding)
-
+    kblk = k_ref[0]
+    vblk = v_ref[0]
+    s = jax.lax.dot_general(
+        q, kblk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if nk != nk_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, (bi, nk_pad), 1)
+        s = jnp.where(col < nk, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(vblk.dtype), vblk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     if l_ref is not None:
         l_ref[0, 0] = (m + jnp.log(l))[:, 0]   # row logsumexp, scaled domain
+
+
+def _flash_mqa_stream_kernel(q_ref, k_ref, v_ref, o_ref, l_ref,
+                             acc_ref, m_ref, sum_ref, *, scale, nk, block_k,
+                             num_kb, fuse_l2norm, q_scale_ref=None):
+    """Grid-streamed program: grid (batch*head, q-blocks, K-BLOCKS) with the key
+    axis as the innermost grid dimension and fp32 accumulators in VMEM scratch.
+    Unlike a whole-key-resident block, VMEM usage is bounded by block_k regardless
+    of sequence length (a 16k-frame-token video unet OOMed the 16 MB scoped VMEM
+    with whole-k blocks: 2 x double-buffered (nk, d) + the sim tile)."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        sum_ref[...] = jnp.zeros_like(sum_ref)
+
+    q = q_ref[0]
+    if fuse_l2norm:
+        q = _l2norm_scale(q, q_scale_ref[0].astype(jnp.float32))
+    bi = q.shape[0]
+
+    kblk = k_ref[0]                                   # (block_k, d)
+    vblk = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, kblk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # (bi, block_k) fp32
+
+    if nk % block_k:  # padding exists in the final block; the select is a no-op
+        # on earlier blocks (cheaper than branching per grid step)
+        col = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bi, block_k), 1)
+        s = jnp.where(col < nk, s, _NEG_INF)
+
+    # stat scratch is (block_q, 128) to satisfy TPU lane tiling; column 0 is live
+    m_prev = m_ref[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new[:, 0:1])
+    alpha = jnp.exp(m_prev[:, 0:1] - m_new[:, 0:1])
+    sum_ref[...] = sum_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[...] = m_new
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p.astype(vblk.dtype), vblk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kb == num_kb - 1)
+    def _():
+        o_ref[0] = (acc_ref[...] / sum_ref[:, 0:1]).astype(o_ref.dtype)
+        if l_ref is not None:
+            l_ref[0, 0] = m_ref[:, 0] + jnp.log(sum_ref[:, 0])
 
 
 def _round_up(x, m):
@@ -189,7 +201,8 @@ def _flash_mqa_forward(q, k, v, scale, block_q=None, block_k=512, interpret=Fals
     nk_pad128 = _round_up(nk, 128)
     oneshot_bq = (_oneshot_block_q(n, nk_pad128)
                   if nk_pad128 <= _ONESHOT_MAX_NK else None)
-    if block_q is None and oneshot_bq is not None:
+    oneshot = block_q is None and oneshot_bq is not None
+    if oneshot:
         block_q, block_k = oneshot_bq, nk_pad128
     else:
         block_q = block_q if block_q is not None else _pick_block_q(n)
@@ -202,50 +215,84 @@ def _flash_mqa_forward(q, k, v, scale, block_q=None, block_k=512, interpret=Fals
         pad = ((0, 0), (0, nk_pad - nk), (0, 0))
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
+    num_kb = nk_pad // block_k
 
     q_r = q.reshape(b * h, n, d)
-    grid = (b * h, n // block_q)
-
-    in_specs = [
-        pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
-        pl.BlockSpec((1, nk_pad, d), lambda bh, i, _h=h: (bh // _h, 0, 0)),
-        pl.BlockSpec((1, nk_pad, d), lambda bh, i, _h=h: (bh // _h, 0, 0)),
-    ]
-    args = [q_r, k, v]
-
-    if fuse:
-        in_specs += [
-            pl.BlockSpec((1, d), lambda bh, i: (0, 0)),
-        ]
-        args += [q_scale.reshape(1, d)]
 
     out_shape = jax.ShapeDtypeStruct((b * h, n, d), q.dtype)
-    out_spec = pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0))
-    if return_stats:
+    if oneshot:
+        grid = (b * h, n // block_q)
+        q_spec = pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0))
+        kv_spec = pl.BlockSpec((1, nk_pad, d), lambda bh, i, _h=h: (bh // _h, 0, 0))
+        qs_spec = pl.BlockSpec((1, d), lambda bh, i: (0, 0))
+        out_spec = q_spec
         # stats carry a singleton axis so the block's dim -2 is array-equal
         # (TPU tiling rule: last two block dims divisible by (8, 128) or equal)
+        lse_spec = pl.BlockSpec((1, 1, block_q), lambda bh, i: (bh, 0, i))
+        kern = functools.partial(
+            _flash_mqa_kernel, scale=scale, nk=nk, block_k=block_k,
+            fuse_l2norm=fuse)
+        scratch_shapes = []
+    else:
+        # key axis streamed through the grid; accumulators live in VMEM scratch,
+        # so VMEM is bounded by block_k regardless of nk
+        grid = (b * h, n // block_q, num_kb)
+        q_spec = pl.BlockSpec((1, block_q, d), lambda bh, i, kb: (bh, i, 0))
+        kv_spec = pl.BlockSpec(
+            (1, block_k, d), lambda bh, i, kb, _h=h: (bh // _h, kb, 0))
+        qs_spec = pl.BlockSpec((1, d), lambda bh, i, kb: (0, 0))
+        out_spec = pl.BlockSpec((1, block_q, d), lambda bh, i, kb: (bh, i, 0))
+        lse_spec = pl.BlockSpec((1, 1, block_q), lambda bh, i, kb: (bh, 0, i))
+        kern = functools.partial(
+            _flash_mqa_stream_kernel, scale=scale, nk=nk, block_k=block_k,
+            num_kb=num_kb, fuse_l2norm=fuse)
+        scratch_shapes = [pltpu.VMEM((block_q, d), jnp.float32),
+                          pltpu.VMEM((block_q, 128), jnp.float32),
+                          pltpu.VMEM((block_q, 128), jnp.float32)]
+
+    in_specs = [q_spec, kv_spec, kv_spec]
+    args = [q_r, k, v]
+    if fuse:
+        in_specs += [qs_spec]
+        args += [q_scale.reshape(1, d)]
+
+    if return_stats:
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((b * h, 1, n), jnp.float32)]
-        out_spec = [out_spec,
-                    pl.BlockSpec((1, 1, block_q), lambda bh, i: (bh, 0, i))]
+        out_spec = [out_spec, lse_spec]
 
-    kern = functools.partial(
-        _flash_mqa_kernel, scale=scale, nk=nk, block_k=block_k, fuse_l2norm=fuse)
-
-    if fuse:
-        if return_stats:
-            def kernel(q_ref, k_ref, v_ref, qs_ref, o_ref, l_ref):
-                kern(q_ref, k_ref, v_ref, o_ref, l_ref, q_scale_ref=qs_ref)
+    if oneshot:
+        if fuse:
+            if return_stats:
+                def kernel(q_ref, k_ref, v_ref, qs_ref, o_ref, l_ref):
+                    kern(q_ref, k_ref, v_ref, o_ref, l_ref, q_scale_ref=qs_ref)
+            else:
+                def kernel(q_ref, k_ref, v_ref, qs_ref, o_ref):
+                    kern(q_ref, k_ref, v_ref, o_ref, q_scale_ref=qs_ref)
         else:
-            def kernel(q_ref, k_ref, v_ref, qs_ref, o_ref):
-                kern(q_ref, k_ref, v_ref, o_ref, q_scale_ref=qs_ref)
+            if return_stats:
+                def kernel(q_ref, k_ref, v_ref, o_ref, l_ref):
+                    kern(q_ref, k_ref, v_ref, o_ref, l_ref)
+            else:
+                def kernel(q_ref, k_ref, v_ref, o_ref):
+                    kern(q_ref, k_ref, v_ref, o_ref)
     else:
-        if return_stats:
-            def kernel(q_ref, k_ref, v_ref, o_ref, l_ref):
-                kern(q_ref, k_ref, v_ref, o_ref, l_ref)
+        if fuse:
+            if return_stats:
+                def kernel(q_ref, k_ref, v_ref, qs_ref, o_ref, l_ref, *scr):
+                    kern(q_ref, k_ref, v_ref, o_ref, l_ref, *scr,
+                         q_scale_ref=qs_ref)
+            else:
+                def kernel(q_ref, k_ref, v_ref, qs_ref, o_ref, *scr):
+                    kern(q_ref, k_ref, v_ref, o_ref, None, *scr,
+                         q_scale_ref=qs_ref)
         else:
-            def kernel(q_ref, k_ref, v_ref, o_ref):
-                kern(q_ref, k_ref, v_ref, o_ref)
+            if return_stats:
+                def kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *scr):
+                    kern(q_ref, k_ref, v_ref, o_ref, l_ref, *scr)
+            else:
+                def kernel(q_ref, k_ref, v_ref, o_ref, *scr):
+                    kern(q_ref, k_ref, v_ref, o_ref, None, *scr)
 
     out = pl.pallas_call(
         kernel,
@@ -253,6 +300,7 @@ def _flash_mqa_forward(q, k, v, scale, block_q=None, block_k=512, interpret=Fals
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*args)
 
@@ -264,45 +312,48 @@ def _flash_mqa_forward(q, k, v, scale, block_q=None, block_k=512, interpret=Fals
 
 # --- backward kernels ----------------------------------------------------------------------
 
-def _flash_mqa_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, L_ref, D_ref, dq_ref, *,
-                             scale, nk, block_k):
-    """dQ for one (batch*head, q-block) program, streaming key blocks.
+def _flash_mqa_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, L_ref, D_ref, dq_ref,
+                             acc_ref, *, scale, nk, block_k, num_kb):
+    """dQ with the key axis streamed through the grid (b*h, q-blocks, K-BLOCKS);
+    accumulator in VMEM scratch — bounded VMEM regardless of sequence length.
 
     dQ_i = sum_j [P_ij * (dO_i V_j^T - D_i)] * scale @ K_j, with P recomputed from
     the saved logsumexp — the (bi, bj) tile never leaves VMEM."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
     q = q_ref[0]                                       # (bi, d)
     do = do_ref[0]                                     # (bi, d)
     Lrow = L_ref[0, 0][:, None]                        # (bi, 1) fp32
     Drow = D_ref[0, 0][:, None]                        # (bi, 1) fp32
     bi, d = q.shape
-    nk_pad = k_ref.shape[1]
-    num_kb = nk_pad // block_k
-    has_padding = nk != nk_pad
+    kblk = k_ref[0]                                    # (block_k, d)
+    vblk = v_ref[0]
 
-    def body(jb, acc):
-        kblk = k_ref[0, pl.ds(jb * block_k, block_k), :]
-        vblk = v_ref[0, pl.ds(jb * block_k, block_k), :]
+    s = jax.lax.dot_general(
+        q, kblk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - Lrow)                              # (bi, bj) fp32
+    if nk % block_k:
+        col = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bi, block_k), 1)
+        p = jnp.where(col < nk, p, 0.)
 
-        s = jax.lax.dot_general(
-            q, kblk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(s - Lrow)                          # (bi, bj) fp32
-        if has_padding:
-            col = jb * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (bi, block_k), 1)
-            p = jnp.where(col < nk, p, 0.)
+    dp = jax.lax.dot_general(
+        do, vblk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (bi, bj) fp32
+    ds = p * (dp - Drow) * scale
 
-        dp = jax.lax.dot_general(
-            do, vblk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (bi, bj) fp32
-        ds = p * (dp - Drow) * scale
+    acc_ref[...] += jax.lax.dot_general(
+        ds.astype(kblk.dtype), kblk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
-        return acc + jax.lax.dot_general(
-            ds.astype(kblk.dtype), kblk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    acc = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((bi, d), jnp.float32))
-    dq_ref[0] = acc.astype(dq_ref.dtype)
+    @pl.when(kb == num_kb - 1)
+    def _():
+        dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
 
 
 def _flash_mqa_bwd_dkv_kernel(q_ref, do_ref, L_ref, D_ref, k_ref, v_ref,
@@ -375,21 +426,25 @@ def _flash_mqa_backward_impl(q, k, v, do, lse, delta, scale, block_q=None,
     lse_r = lse.reshape(b * h, 1, n)
     delta_r = delta.reshape(b * h, 1, n)
 
-    # ---- dq: grid (b*h, q-blocks), stream key blocks --------------------------------
+    # ---- dq: grid (b*h, q-blocks, k-blocks), accumulator in VMEM scratch ------------
+    num_kb = nk_pad // block_k
     dq = pl.pallas_call(
         functools.partial(_flash_mqa_bwd_dq_kernel, scale=scale, nk=nk,
-                          block_k=block_k),
+                          block_k=block_k, num_kb=num_kb),
         out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
-        grid=(b * h, n // block_q),
+        grid=(b * h, n // block_q, num_kb),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
-            pl.BlockSpec((1, nk_pad, d), lambda bh, i, _h=h: (bh // _h, 0, 0)),
-            pl.BlockSpec((1, nk_pad, d), lambda bh, i, _h=h: (bh // _h, 0, 0)),
-            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda bh, i: (bh, 0, i)),
-            pl.BlockSpec((1, 1, block_q), lambda bh, i: (bh, 0, i)),
+            pl.BlockSpec((1, block_q, d), lambda bh, i, kb: (bh, i, 0)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bh, i, kb, _h=h: (bh // _h, kb, 0)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bh, i, kb, _h=h: (bh // _h, kb, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bh, i, kb: (bh, i, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, i, kb: (bh, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, i, kb: (bh, 0, i)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, kb: (bh, i, 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=interpret,
     )(q_r, k_p, v_p, do_r, lse_r, delta_r).reshape(b, h, n, d)
 
@@ -504,6 +559,11 @@ flash_cosine_mqa.defvjp(_cos_fwd, _cos_bwd)
 
 def flash_attention_available(q_len, dim_head, has_mask, has_bias):
     """Heuristic gate for routing through the flash kernel."""
+    import os
+    if os.environ.get('IMAGEN_TPU_DISABLE_PALLAS'):
+        # trace-time kill switch: bench.py lowers the XLA-only path once to get
+        # true model FLOPs (XLA cost analysis cannot see inside pallas calls)
+        return False
     if has_mask or has_bias:
         return False
     if q_len < FLASH_MIN_SEQ:

@@ -258,6 +258,9 @@ def _ff_rows_block(rows, k, hid):
 
 
 def fused_feedforward_available(rows, k, hid, dtype):
+    import os
+    if os.environ.get('IMAGEN_TPU_DISABLE_PALLAS'):
+        return False  # see flash_attention.flash_attention_available
     itemsize = jnp.dtype(dtype).itemsize
     return (jax.default_backend() == 'tpu'
             and k % 128 == 0 and hid % 128 == 0
@@ -312,3 +315,140 @@ def _ff_bwd(eps, residuals, ct):
 
 
 fused_feedforward.defvjp(_ff_fwd, _ff_bwd)
+
+
+# --- fused LayerNorm->matmul and matmul->LayerNorm --------------------------------------
+#
+# The attention blocks sandwich their projections between LayerNorms
+# (reference imagen_pytorch.py:502-591: pre-norm -> to_q/to_kv, and
+# to_out -> out LayerNorm). Fusing the norm INTO the adjacent matmul removes its
+# separate HBM passes without creating a norm<->matmul pallas boundary (the
+# failure mode documented at fused_layernorm above). Same availability rules and
+# XLA-recompute backward as fused_feedforward.
+
+def _lnmm_kernel(x_ref, g_ref, w_ref, o_ref, *, eps):
+    x = x_ref[...].astype(jnp.float32)
+    h = _ln_f32(x, g_ref[...].astype(jnp.float32), eps)
+    o_ref[...] = jax.lax.dot_general(
+        h.astype(w_ref.dtype), w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _mmln_kernel(x_ref, w_ref, g_ref, o_ref, *, eps):
+    h = jax.lax.dot_general(
+        x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h = h.astype(o_ref.dtype).astype(jnp.float32)  # round as the module chain does
+    o_ref[...] = _ln_f32(h, g_ref[...].astype(jnp.float32), eps).astype(o_ref.dtype)
+
+
+def _lnmm_xla(x, g, w, eps):
+    var = jnp.var(x, axis=-1, keepdims=True)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    h = (x - mean) * jax.lax.rsqrt(var + eps).astype(x.dtype) * g.astype(x.dtype)
+    return (h @ w.astype(h.dtype)).astype(x.dtype)
+
+
+def _mmln_xla(x, w, g, eps):
+    h = (x @ w.astype(x.dtype)).astype(x.dtype)
+    var = jnp.var(h, axis=-1, keepdims=True)
+    mean = jnp.mean(h, axis=-1, keepdims=True)
+    return (h - mean) * jax.lax.rsqrt(var + eps).astype(h.dtype) * g.astype(h.dtype)
+
+
+def fused_lnmm_available(rows, k, n, dtype):
+    import os
+    if os.environ.get('IMAGEN_TPU_DISABLE_PALLAS'):
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    return (jax.default_backend() == 'tpu'
+            and k % 128 == 0 and n % 128 == 0
+            and k * n * itemsize <= _FF_WEIGHT_BUDGET
+            and _ff_rows_block(rows, k, n) is not None)
+
+
+def _pallas_rowblock_call(kern, args, specs, rows, bm, n, dtype, interpret):
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((rows, n), dtype),
+        grid=(rows // bm,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
+        interpret=interpret,
+    )(*args)
+
+
+def _lnmm_forward(x, g, w, eps, interpret=False):
+    shape = x.shape
+    k, n = w.shape
+    rows = 1
+    for s in shape[:-1]:
+        rows *= s
+    bm = _ff_rows_block(rows, k, n)
+    if bm is None or (not interpret and jax.default_backend() != 'tpu'):
+        return _lnmm_xla(x, g, w, eps)
+    out = _pallas_rowblock_call(
+        functools.partial(_lnmm_kernel, eps=eps),
+        [x.reshape(rows, k), g.reshape(1, k), w.astype(x.dtype)],
+        [pl.BlockSpec((bm, k), lambda i: (i, 0)),
+         pl.BlockSpec((1, k), lambda i: (0, 0)),
+         pl.BlockSpec((k, n), lambda i: (0, 0))],
+        rows, bm, n, x.dtype, interpret)
+    return out.reshape(*shape[:-1], n)
+
+
+def _mmln_forward(x, w, g, eps, interpret=False):
+    shape = x.shape
+    k, n = w.shape
+    rows = 1
+    for s in shape[:-1]:
+        rows *= s
+    bm = _ff_rows_block(rows, k, n)
+    if bm is None or (not interpret and jax.default_backend() != 'tpu'):
+        return _mmln_xla(x, w, g, eps)
+    out = _pallas_rowblock_call(
+        functools.partial(_mmln_kernel, eps=eps),
+        [x.reshape(rows, k), w.astype(x.dtype), g.reshape(1, n)],
+        [pl.BlockSpec((bm, k), lambda i: (i, 0)),
+         pl.BlockSpec((k, n), lambda i: (0, 0)),
+         pl.BlockSpec((1, n), lambda i: (0, 0))],
+        rows, bm, n, x.dtype, interpret)
+    return out.reshape(*shape[:-1], n)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_ln_matmul(x, g, w, eps):
+    """LayerNorm (bias-free, stable=False) -> matmul, one VMEM-resident pass."""
+    return _lnmm_forward(x, g, w, eps)
+
+
+def _lnmm_fwd(x, g, w, eps):
+    return _lnmm_forward(x, g, w, eps), (x, g, w)
+
+
+def _lnmm_bwd(eps, residuals, ct):
+    x, g, w = residuals
+    _, vjp = jax.vjp(lambda *a: _lnmm_xla(*a, eps), x, g, w)
+    return vjp(ct)
+
+
+fused_ln_matmul.defvjp(_lnmm_fwd, _lnmm_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_matmul_ln(x, w, g, eps):
+    """matmul -> LayerNorm (bias-free, stable=False), one VMEM-resident pass."""
+    return _mmln_forward(x, w, g, eps)
+
+
+def _mmln_fwd(x, w, g, eps):
+    return _mmln_forward(x, w, g, eps), (x, w, g)
+
+
+def _mmln_bwd(eps, residuals, ct):
+    x, w, g = residuals
+    _, vjp = jax.vjp(lambda *a: _mmln_xla(*a, eps), x, w, g)
+    return vjp(ct)
+
+
+fused_matmul_ln.defvjp(_mmln_fwd, _mmln_bwd)

@@ -76,6 +76,50 @@ class TestFusedFeedForward:
             rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-30))
             assert rel < 5e-3
 
+    def test_lnmm_forward_and_grads(self):
+        x = _rand(0, (2, 64, 256))
+        g = 1.0 + 0.1 * _rand(1, (256,))
+        w = _rand(2, (256, 640), 0.05)
+        got = fn._lnmm_forward(x, g, w, 1e-5, interpret=True)
+        ref = fn._lnmm_xla(x, g, w, 1e-5)
+        assert float(jnp.max(jnp.abs(got - ref))) < 2e-3
+
+        gf = jax.grad(lambda *a: jnp.sum(fn.fused_ln_matmul(*a, 1e-5) ** 2),
+                      argnums=(0, 1, 2))(x, g, w)
+        gr = jax.grad(lambda *a: jnp.sum(fn._lnmm_xla(*a, 1e-5) ** 2),
+                      argnums=(0, 1, 2))(x, g, w)
+        for a, b in zip(gf, gr):
+            rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-30))
+            assert rel < 5e-3
+
+    def test_mmln_forward_and_grads(self):
+        x = _rand(0, (2, 64, 512))
+        w = _rand(1, (512, 256), 0.05)
+        g = 1.0 + 0.1 * _rand(2, (256,))
+        got = fn._mmln_forward(x, w, g, 1e-5, interpret=True)
+        ref = fn._mmln_xla(x, w, g, 1e-5)
+        assert float(jnp.max(jnp.abs(got - ref))) < 2e-3
+
+        gf = jax.grad(lambda *a: jnp.sum(fn.fused_matmul_ln(*a, 1e-5) ** 2),
+                      argnums=(0, 1, 2))(x, w, g)
+        gr = jax.grad(lambda *a: jnp.sum(fn._mmln_xla(*a, 1e-5) ** 2),
+                      argnums=(0, 1, 2))(x, w, g)
+        for a, b in zip(gf, gr):
+            rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-30))
+            assert rel < 5e-3
+
+    def test_attention_param_tree_unchanged(self):
+        # Attention exposes identical params on fused and module routes
+        from imagen_tpu.models.blocks import Attention
+        attn = Attention(dim_head=16, heads=4, dtype=jnp.float32)
+        params = attn.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 128)))
+        leaves = params['params']
+        assert {'LayerNorm_0', 'to_q', 'to_kv', 'to_out', 'out_norm',
+                'null_kv', 'q_scale', 'k_scale'} <= set(leaves)
+        assert leaves['to_q']['kernel'].shape == (128, 64)
+        assert leaves['to_kv']['kernel'].shape == (128, 32)
+        assert leaves['out_norm']['g'].shape == (128,)
+
     def test_module_param_tree_unchanged(self):
         # FeedForward exposes the same LayerNorm_0/Dense_0/LayerNorm_1/Dense_1
         # tree on both the fused and module routes
