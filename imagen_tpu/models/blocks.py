@@ -25,7 +25,7 @@ from einops import rearrange, repeat
 from imagen_tpu.ops.attention import (
     kernelized_linear_attention,
     multihead_attention,
-    multiquery_attention,
+    multiquery_attention_packed,
 )
 from imagen_tpu.ops.tensor_utils import l2norm, masked_mean, resize_image_to
 from imagen_tpu.utils.helpers import cast_tuple, default, exists
@@ -223,8 +223,6 @@ class Attention(nn.Module):
                           name='to_kv')(x)
             k, v = jnp.split(kv, 2, axis=-1)
 
-        q = rearrange(q, 'b n (h d) -> b h n d', h=self.heads)
-
         # null key/value for classifier-free guidance
         null_kv = self.param('null_kv', nn.initializers.normal(1.0),
                              (2, self.dim_head), jnp.float32)
@@ -248,11 +246,10 @@ class Attention(nn.Module):
         q_scale = self.param('q_scale', nn.initializers.ones, (self.dim_head,), jnp.float32)
         k_scale = self.param('k_scale', nn.initializers.ones, (self.dim_head,), jnp.float32)
 
-        out = multiquery_attention(
-            q, k, v, scale=self.scale, mask=mask, attn_bias=attn_bias,
-            null_tokens=num_prepended, q_scale=q_scale, k_scale=k_scale)
-
-        out = rearrange(out, 'b h n d -> b n (h d)')
+        out = multiquery_attention_packed(
+            q, k, v, self.heads, scale=self.scale, mask=mask,
+            attn_bias=attn_bias, null_tokens=num_prepended,
+            q_scale=q_scale, k_scale=k_scale)
 
         from imagen_tpu.ops.fused_norm import fused_lnmm_available, fused_matmul_ln
         if fused_lnmm_available(rows, inner_dim, dim, self.dtype):
@@ -710,25 +707,38 @@ class CrossEmbedLayer(nn.Module):
         tiled = (self.stride == 1 and c <= 4 and max(kernel_sizes) % 2 == 1
                  and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
         if tiled:
+            # One shared space-to-depth input padded for the LARGEST kernel;
+            # each scale runs its OWN phase-tiled conv over a centered slice
+            # (running the small scales inside one merged max-K kernel costs
+            # K_max^2 taps for every scale — ~3x the FLOPs at (3, 7, 15)).
             kmax = max(kernel_sizes)
-            ws, bs = [], []
+            pmax = kmax // 2
+            xp = jnp.pad(x.astype(self.dtype),
+                         ((0, 0), (pmax, pmax), (pmax, pmax), (0, 0)))
+            xs = rearrange(xp, 'b (h s1) (w s2) c -> b h w (s1 s2 c)', s1=2, s2=2)
+            ys, bs = [], []
             for i, (kernel, dim_scale) in enumerate(zip(kernel_sizes, dim_scales)):
                 w, b = _ShuffleConvParams(
                     (kernel, kernel, c, dim_scale), (dim_scale,),
                     name=f'conv_{i}')()
-                p = (kmax - kernel) // 2
-                ws.append(jnp.pad(w, ((p, p), (p, p), (0, 0), (0, 0))))
+                # the slice below needs (pmax - pad_k) even: widen the kernel by
+                # one zero tap per side when parities differ
+                if (pmax - kernel // 2) % 2:
+                    w = jnp.pad(w, ((1, 1), (1, 1), (0, 0), (0, 0)))
+                wt, _ = _phase_tiled_kernel(w.astype(self.dtype), 2)
+                off = (pmax - w.shape[0] // 2) // 2  # in space-to-depth blocks
+                xs_k = xs if off == 0 else xs[:, off:-off, off:-off, :]
+                ys.append(jax.lax.conv_general_dilated(
+                    xs_k, wt, (1, 1), 'VALID',
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC')))
                 bs.append(b)
-            w_all = jnp.concatenate(ws, axis=-1)          # (kmax, kmax, c, dim_out)
             bias = jnp.concatenate(bs)
-            wt, kt = _phase_tiled_kernel(w_all.astype(self.dtype), 2)
-            pad = kmax // 2
-            xp = jnp.pad(x.astype(self.dtype),
-                         ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-            xs = rearrange(xp, 'b (h s1) (w s2) c -> b h w (s1 s2 c)', s1=2, s2=2)
-            y = jax.lax.conv_general_dilated(
-                xs, wt, (1, 1), 'VALID',
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            # per-scale channels are (p1 p2 o_i); emit phase-major across scales
+            # so one depth-to-space covers the concatenated output
+            o_sz = [y.shape[-1] // 4 for y in ys]
+            y = jnp.concatenate(
+                [y[..., ph * o: (ph + 1) * o] for ph in range(4)
+                 for y, o in zip(ys, o_sz)], axis=-1)
             y = rearrange(y, 'b h w (p1 p2 o) -> b (h p1) (w p2) o', p1=2, p2=2)
             return y + bias.astype(y.dtype)
 

@@ -71,6 +71,38 @@ def multiquery_attention(q, k, v, *, scale, mask=None, attn_bias=None, null_toke
     return out
 
 
+def multiquery_attention_packed(q, k, v, heads, *, scale, mask=None,
+                                attn_bias=None, null_tokens=0, q_scale=None,
+                                k_scale=None):
+    """multiquery_attention over HEAD-PACKED queries: q is (b, n, h*d) exactly as
+    the q-projection emits it; k, v are (b, j, d). Returns (b, n, h*d).
+
+    On the flash route the packed layout reshapes (for free — contiguous memory)
+    to the kernel's rows layout (b, n*h, d), so the `b n (h d) <-> b h n d` head
+    transposes — real HBM relayout passes, ~6% of round-2 sampler device time —
+    never happen. The XLA fallback performs them internally (it computes on
+    (b, h, i, d) like the reference einsums)."""
+    from imagen_tpu.ops.flash_attention import (
+        flash_attention_available, flash_cosine_mqa_rows, flash_mqa_rows)
+
+    b, n, hd = q.shape
+    d = hd // heads
+    if flash_attention_available(n, d, exists(mask), exists(attn_bias),
+                                 heads=heads):
+        q_rows = q.reshape(b, n * heads, d)
+        if exists(q_scale):
+            out = flash_cosine_mqa_rows(q_rows, k, v, q_scale, k_scale, scale)
+        else:
+            out = flash_mqa_rows(q_rows, k, v, scale)
+        return out.reshape(b, n, hd)
+
+    q4 = q.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+    out = multiquery_attention(q4, k, v, scale=scale, mask=mask,
+                               attn_bias=attn_bias, null_tokens=null_tokens,
+                               q_scale=q_scale, k_scale=k_scale)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, hd)
+
+
 def multihead_attention(q, k, v, *, scale, mask=None, attn_bias=None, null_tokens=0):
     """Full multi-head attention: q, k, v are (b, h, n, d).
 

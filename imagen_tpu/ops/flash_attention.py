@@ -7,23 +7,33 @@ same cosine-sim multi-query attention with online (streaming) softmax over key
 blocks: the (bi, bj) similarity tile lives only in VMEM, accumulators are fp32, and
 neither the forward nor the backward ever materializes an (n, n) tensor in HBM.
 
-Layout (multi-query, reference imagen_pytorch.py:522):
-    q: (b, h, n, d)   — queries per head
+Rows layout — the TPU-native trick: multi-query attention (single KV head shared by
+all query heads, reference imagen_pytorch.py:522) is mathematically plain
+single-head attention over R = n*h INDEPENDENT rows. The module's packed
+(b, n, h*d) activations reshape to rows (b, n*h, d) for free (contiguous memory),
+so the kernels take q as (b, R, d) and the `b n (h d) -> b h n d` / inverse
+head transposes — real HBM relayout passes, ~6% of sampler device time in the
+round-2 profile — disappear entirely. Heads only exist in the row ORDER, which
+both softmax and the backward reduction are invariant to.
+
+    q: (b, R, d)      — R query rows (any interleaving of pixels x heads)
     k: (b, nk, d)     — single shared KV head
     v: (b, nk, d)
 
-Forward: online softmax per (batch*head, q-block) program; also emits the row
-logsumexp L (in the scaled-similarity domain) used by the backward.
+Softmax uses exp2 with scale*log2(e) folded into the q prologue (the VPU's native
+exponential; saves the separate full-tile `* scale` pass). The saved row
+logsumexp L is therefore in the BASE-2 scaled domain; the backward uses the same
+convention, so P = exp2(s2 - L2) is the exact softmax weight.
 
-Backward (FlashAttention-2 recomputation scheme):
-    D_i  = rowsum(dO_i * O_i)                       (precomputed by XLA, fused)
-    P    = exp(S - L)  recomputed per tile
+Backward (FlashAttention-2 recomputation scheme, rows form):
+    D_r  = rowsum(dO_r * O_r)                       (precomputed by XLA, fused)
+    P    = exp2(S2 - L2)  recomputed per tile
     dV   = P^T dO       dP = dO V^T
     dS   = P * (dP - D) * scale
     dQ   = dS K         dK = dS^T Q
-Two kernels: dq (grid over (b*h, q-blocks), streaming k-blocks) and dkv
-(grid over (b, k-blocks, h, q-blocks), accumulating into revisited output blocks —
-dk/dv are shared across query heads in the multi-query layout).
+Two kernels: dq (grid (b, row-blocks, k-blocks), VMEM scratch accumulator) and dkv
+(grid (b, k-blocks, row-blocks), accumulating into revisited output blocks — in the
+rows form the multi-query head reduction is just the reduction over all rows).
 
 The cosine-sim prologue (l2norm + learned per-dim gains, reference :566-570) is
 fused into the forward kernel; the backward recomputes normalized q/k with XLA
@@ -32,6 +42,7 @@ fused into the forward kernel; the backward recomputes normalized q/k with XLA
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -43,16 +54,17 @@ from jax.experimental.pallas import tpu as pltpu
 FLASH_MIN_SEQ = 1024
 
 _NEG_INF = -1e30
+_LOG2E = math.log2(math.e)
 
 # module-level interpret toggle so the custom_vjp-wrapped public entry points can be
 # exercised on CPU in tests
 _INTERPRET = False
 
 
-def _pick_block_q(n):
-    """Largest well-shaped q-block that tiles the sequence; None if nothing fits."""
+def _pick_block_q(rows):
+    """Largest well-shaped row-block that tiles the row axis; None if nothing fits."""
     for bq in (512, 256, 128):
-        if n % bq == 0:
+        if rows % bq == 0:
             return bq
     return None
 
@@ -64,10 +76,10 @@ _ONESHOT_MAX_NK = 2048
 _ONESHOT_TILE_BUDGET = 6 * 1024 * 1024  # bytes for the fp32 (block_q, nk_pad) tile
 
 
-def _oneshot_block_q(n, nk_pad):
-    """Largest q-block for the one-shot path within the VMEM tile budget."""
+def _oneshot_block_q(rows, nk_pad):
+    """Largest row-block for the one-shot path within the VMEM tile budget."""
     for bq in (1024, 512, 256, 128):
-        if n % bq == 0 and bq * nk_pad * 4 <= _ONESHOT_TILE_BUDGET:
+        if rows % bq == 0 and bq * nk_pad * 4 <= _ONESHOT_TILE_BUDGET:
             return bq
     return None
 
@@ -77,22 +89,27 @@ def _l2norm_scale(x, gain, eps=1e-12):
     prologue (reference imagen_pytorch.py:566-570) fused into the kernel so the
     normalized q/k never round-trip HBM."""
     xf = x.astype(jnp.float32)
-    inv = jax.lax.rsqrt(jnp.maximum(jnp.sum(xf * xf, axis=-1, keepdims=True), eps))
-    out = xf * inv
-    if gain is not None:
-        out = out * gain
-    return out.astype(x.dtype)
+    inv = jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(xf * xf, axis=-1, keepdims=True), eps))
+    return (xf * inv * gain).astype(x.dtype)
 
 
-# --- forward ------------------------------------------------------------------------------
+def _q_prologue(q, q_scale_ref, scale, fuse_l2norm):
+    """Apply the cosine l2norm+gain (fused path) or plain scaling on the small
+    (block_q, d) query tile, with scale*log2e folded in so the sim tile needs no
+    separate scaling pass and exp2 is the direct exponential."""
+    s2 = scale * _LOG2E
+    if fuse_l2norm:
+        return _l2norm_scale(q, q_scale_ref[0].astype(jnp.float32) * s2)
+    return (q.astype(jnp.float32) * s2).astype(q.dtype)
 
-def _flash_mqa_kernel(q_ref, k_ref, v_ref, o_ref, l_ref=None, *, scale, nk, block_k,
-                      fuse_l2norm, q_scale_ref=None):
-    """One-shot program: the whole padded key axis is a single block
-    (block_k == nk_pad), so the online-softmax rescaling collapses to one plain
-    softmax over the full similarity tile — measured ~27% faster at the unet's
-    32x32 attention shape (n=1024, nk=1281 on v5e) than streaming 512-wide key
-    blocks.
+
+def _flash_rows_kernel(q_ref, k_ref, v_ref, o_ref, l_ref=None, *, scale, nk,
+                       fuse_l2norm, q_scale_ref=None):
+    """One-shot program: the whole padded key axis is a single block, so the
+    online-softmax rescaling collapses to one plain softmax over the full
+    similarity tile — measured ~27% faster at the unet's 32x32 attention shape
+    (n=1024, nk=1281 on v5e) than streaming 512-wide key blocks.
 
     Matmuls keep their input dtype (bf16 runs the MXU at full rate) and accumulate
     fp32 via preferred_element_type; softmax statistics stay fp32. Keys arrive
@@ -100,39 +117,34 @@ def _flash_mqa_kernel(q_ref, k_ref, v_ref, o_ref, l_ref=None, *, scale, nk, bloc
     outside the kernel — re-normalizing per program wastes VPU time); only the
     q-norm is fused here, since q is loaded exactly once per program.
     """
-    del block_k
-    q = q_ref[0]                                      # (bi, d), input dtype
-    if fuse_l2norm:
-        q = _l2norm_scale(q, q_scale_ref[0].astype(jnp.float32))
+    q = _q_prologue(q_ref[0], q_scale_ref, scale, fuse_l2norm)  # (bi, d)
     bi = q.shape[0]
     nk_pad = k_ref.shape[1]
 
-    kblk = k_ref[0]
-    vblk = v_ref[0]
     s = jax.lax.dot_general(
-        q, kblk, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        q, k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # base-2 scaled domain
     if nk != nk_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, (bi, nk_pad), 1)
         s = jnp.where(col < nk, s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     acc = jax.lax.dot_general(
-        p.astype(vblk.dtype), vblk, (((1,), (0,)), ((), ())),
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     if l_ref is not None:
-        l_ref[0, 0] = (m + jnp.log(l))[:, 0]   # row logsumexp, scaled domain
+        l_ref[0, 0] = (m + jnp.log2(l))[:, 0]   # row log2-sum-exp2, scaled domain
 
 
-def _flash_mqa_stream_kernel(q_ref, k_ref, v_ref, o_ref, l_ref,
-                             acc_ref, m_ref, sum_ref, *, scale, nk, block_k,
-                             num_kb, fuse_l2norm, q_scale_ref=None):
-    """Grid-streamed program: grid (batch*head, q-blocks, K-BLOCKS) with the key
-    axis as the innermost grid dimension and fp32 accumulators in VMEM scratch.
-    Unlike a whole-key-resident block, VMEM usage is bounded by block_k regardless
-    of sequence length (a 16k-frame-token video unet OOMed the 16 MB scoped VMEM
+def _flash_rows_stream_kernel(q_ref, k_ref, v_ref, o_ref, l_ref,
+                              acc_ref, m_ref, sum_ref, *, scale, nk, block_k,
+                              num_kb, fuse_l2norm, q_scale_ref=None):
+    """Grid-streamed program: grid (b, row-blocks, K-BLOCKS) with the key axis as
+    the innermost grid dimension and fp32 accumulators in VMEM scratch. Unlike a
+    whole-key-resident block, VMEM usage is bounded by block_k regardless of
+    sequence length (a 16k-frame-token video unet OOMed the 16 MB scoped VMEM
     with whole-k blocks: 2 x double-buffered (nk, d) + the sim tile)."""
     kb = pl.program_id(2)
 
@@ -142,9 +154,7 @@ def _flash_mqa_stream_kernel(q_ref, k_ref, v_ref, o_ref, l_ref,
         m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
         sum_ref[...] = jnp.zeros_like(sum_ref)
 
-    q = q_ref[0]
-    if fuse_l2norm:
-        q = _l2norm_scale(q, q_scale_ref[0].astype(jnp.float32))
+    q = _q_prologue(q_ref[0], q_scale_ref, scale, fuse_l2norm)
     bi = q.shape[0]
 
     kblk = k_ref[0]                                   # (block_k, d)
@@ -152,7 +162,7 @@ def _flash_mqa_stream_kernel(q_ref, k_ref, v_ref, o_ref, l_ref,
 
     s = jax.lax.dot_general(
         q, kblk, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale   # (bi, block_k) fp32
+        preferred_element_type=jnp.float32)           # (bi, block_k), base-2 domain
 
     if nk % block_k:  # padding exists in the final block; the select is a no-op
         # on earlier blocks (cheaper than branching per grid step)
@@ -163,8 +173,8 @@ def _flash_mqa_stream_kernel(q_ref, k_ref, v_ref, o_ref, l_ref,
     # stat scratch is (block_q, 128) to satisfy TPU lane tiling; column 0 is live
     m_prev = m_ref[...]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new[:, 0:1])
-    alpha = jnp.exp(m_prev[:, 0:1] - m_new[:, 0:1])
+    p = jnp.exp2(s - m_new[:, 0:1])
+    alpha = jnp.exp2(m_prev[:, 0:1] - m_new[:, 0:1])
     sum_ref[...] = sum_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[...] = m_new
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
@@ -175,40 +185,41 @@ def _flash_mqa_stream_kernel(q_ref, k_ref, v_ref, o_ref, l_ref,
     def _():
         o_ref[0] = (acc_ref[...] / sum_ref[:, 0:1]).astype(o_ref.dtype)
         if l_ref is not None:
-            l_ref[0, 0] = m_ref[:, 0] + jnp.log(sum_ref[:, 0])
+            l_ref[0, 0] = m_ref[:, 0] + jnp.log2(sum_ref[:, 0])
 
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _flash_mqa_forward(q, k, v, scale, block_q=None, block_k=512, interpret=False,
-                       q_scale=None, k_scale=None, return_stats=False):
-    """q_scale/k_scale given => fuse the cosine-sim l2norm+gain into the kernel.
+def _flash_rows_forward(q, k, v, scale, block_q=None, block_k=512, interpret=False,
+                        q_scale=None, k_scale=None, return_stats=False):
+    """q: (b, R, d) rows; k/v: (b, nk, d) shared KV head.
 
-    return_stats=True additionally returns the per-row logsumexp L (b, h, n) fp32
-    needed by the flash backward."""
-    b, h, n, d = q.shape
+    q_scale/k_scale given => fuse the cosine-sim l2norm+gain into the kernel.
+    return_stats=True additionally returns the per-row log2-sum-exp2 L (b, R) fp32
+    (base-2 scaled domain) needed by the flash backward."""
+    b, rows, d = q.shape
     nk = k.shape[1]
     fuse = q_scale is not None
 
     if fuse:
         # k l2norm+gain once, outside the kernel (one fused XLA pass over the
         # single shared KV head; recomputing it per program would redo it
-        # b*h*(n/block_q) times on the VPU)
+        # b*(R/block_q) times on the VPU)
         k = _xla_l2norm_scale(k, k_scale)
 
     nk_pad128 = _round_up(nk, 128)
-    oneshot_bq = (_oneshot_block_q(n, nk_pad128)
+    oneshot_bq = (_oneshot_block_q(rows, nk_pad128)
                   if nk_pad128 <= _ONESHOT_MAX_NK else None)
     oneshot = block_q is None and oneshot_bq is not None
     if oneshot:
         block_q, block_k = oneshot_bq, nk_pad128
     else:
-        block_q = block_q if block_q is not None else _pick_block_q(n)
-        block_q = min(block_q, n)
+        block_q = block_q if block_q is not None else _pick_block_q(rows)
+        block_q = min(block_q, rows)
         block_k = min(block_k, nk_pad128)
-    assert n % block_q == 0, f'query length {n} must divide block_q {block_q}'
+    assert rows % block_q == 0, f'{rows} rows must divide block_q {block_q}'
 
     nk_pad = _round_up(nk, block_k)
     if nk_pad != nk:
@@ -217,48 +228,44 @@ def _flash_mqa_forward(q, k, v, scale, block_q=None, block_k=512, interpret=Fals
         v = jnp.pad(v, pad)
     num_kb = nk_pad // block_k
 
-    q_r = q.reshape(b * h, n, d)
-
-    out_shape = jax.ShapeDtypeStruct((b * h, n, d), q.dtype)
+    out_shape = jax.ShapeDtypeStruct((b, rows, d), q.dtype)
     if oneshot:
-        grid = (b * h, n // block_q)
-        q_spec = pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0))
-        kv_spec = pl.BlockSpec((1, nk_pad, d), lambda bh, i, _h=h: (bh // _h, 0, 0))
-        qs_spec = pl.BlockSpec((1, d), lambda bh, i: (0, 0))
+        grid = (b, rows // block_q)
+        q_spec = pl.BlockSpec((1, block_q, d), lambda bb, i: (bb, i, 0))
+        kv_spec = pl.BlockSpec((1, nk_pad, d), lambda bb, i: (bb, 0, 0))
+        qs_spec = pl.BlockSpec((1, d), lambda bb, i: (0, 0))
         out_spec = q_spec
         # stats carry a singleton axis so the block's dim -2 is array-equal
         # (TPU tiling rule: last two block dims divisible by (8, 128) or equal)
-        lse_spec = pl.BlockSpec((1, 1, block_q), lambda bh, i: (bh, 0, i))
+        lse_spec = pl.BlockSpec((1, 1, block_q), lambda bb, i: (bb, 0, i))
         kern = functools.partial(
-            _flash_mqa_kernel, scale=scale, nk=nk, block_k=block_k,
-            fuse_l2norm=fuse)
+            _flash_rows_kernel, scale=scale, nk=nk, fuse_l2norm=fuse)
         scratch_shapes = []
     else:
         # key axis streamed through the grid; accumulators live in VMEM scratch,
         # so VMEM is bounded by block_k regardless of nk
-        grid = (b * h, n // block_q, num_kb)
-        q_spec = pl.BlockSpec((1, block_q, d), lambda bh, i, kb: (bh, i, 0))
-        kv_spec = pl.BlockSpec(
-            (1, block_k, d), lambda bh, i, kb, _h=h: (bh // _h, kb, 0))
-        qs_spec = pl.BlockSpec((1, d), lambda bh, i, kb: (0, 0))
-        out_spec = pl.BlockSpec((1, block_q, d), lambda bh, i, kb: (bh, i, 0))
-        lse_spec = pl.BlockSpec((1, 1, block_q), lambda bh, i, kb: (bh, 0, i))
+        grid = (b, rows // block_q, num_kb)
+        q_spec = pl.BlockSpec((1, block_q, d), lambda bb, i, kb: (bb, i, 0))
+        kv_spec = pl.BlockSpec((1, block_k, d), lambda bb, i, kb: (bb, kb, 0))
+        qs_spec = pl.BlockSpec((1, d), lambda bb, i, kb: (0, 0))
+        out_spec = pl.BlockSpec((1, block_q, d), lambda bb, i, kb: (bb, i, 0))
+        lse_spec = pl.BlockSpec((1, 1, block_q), lambda bb, i, kb: (bb, 0, i))
         kern = functools.partial(
-            _flash_mqa_stream_kernel, scale=scale, nk=nk, block_k=block_k,
+            _flash_rows_stream_kernel, scale=scale, nk=nk, block_k=block_k,
             num_kb=num_kb, fuse_l2norm=fuse)
         scratch_shapes = [pltpu.VMEM((block_q, d), jnp.float32),
                           pltpu.VMEM((block_q, 128), jnp.float32),
                           pltpu.VMEM((block_q, 128), jnp.float32)]
 
     in_specs = [q_spec, kv_spec, kv_spec]
-    args = [q_r, k, v]
+    args = [q, k, v]
     if fuse:
         in_specs += [qs_spec]
         args += [q_scale.reshape(1, d)]
 
     if return_stats:
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((b * h, 1, n), jnp.float32)]
+                     jax.ShapeDtypeStruct((b, 1, rows), jnp.float32)]
         out_spec = [out_spec, lse_spec]
 
     if oneshot:
@@ -306,15 +313,15 @@ def _flash_mqa_forward(q, k, v, scale, block_q=None, block_k=512, interpret=Fals
 
     if return_stats:
         o, lse = out
-        return o.reshape(b, h, n, d), lse.reshape(b, h, n)
-    return out.reshape(b, h, n, d)
+        return o, lse.reshape(b, rows)
+    return out
 
 
 # --- backward kernels ----------------------------------------------------------------------
 
-def _flash_mqa_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, L_ref, D_ref, dq_ref,
-                             acc_ref, *, scale, nk, block_k, num_kb):
-    """dQ with the key axis streamed through the grid (b*h, q-blocks, K-BLOCKS);
+def _flash_rows_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, L_ref, D_ref, dq_ref,
+                              acc_ref, *, scale, nk, block_k, num_kb):
+    """dQ with the key axis streamed through the grid (b, row-blocks, K-BLOCKS);
     accumulator in VMEM scratch — bounded VMEM regardless of sequence length.
 
     dQ_i = sum_j [P_ij * (dO_i V_j^T - D_i)] * scale @ K_j, with P recomputed from
@@ -327,7 +334,7 @@ def _flash_mqa_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, L_ref, D_ref, dq_ref,
 
     q = q_ref[0]                                       # (bi, d)
     do = do_ref[0]                                     # (bi, d)
-    Lrow = L_ref[0, 0][:, None]                        # (bi, 1) fp32
+    Lrow = L_ref[0, 0][:, None]                        # (bi, 1) fp32, base-2 domain
     Drow = D_ref[0, 0][:, None]                        # (bi, 1) fp32
     bi, d = q.shape
     kblk = k_ref[0]                                    # (block_k, d)
@@ -335,8 +342,8 @@ def _flash_mqa_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, L_ref, D_ref, dq_ref,
 
     s = jax.lax.dot_general(
         q, kblk, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    p = jnp.exp(s - Lrow)                              # (bi, bj) fp32
+        preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    p = jnp.exp2(s - Lrow)                             # (bi, bj) fp32 == softmax P
     if nk % block_k:
         col = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (bi, block_k), 1)
@@ -356,22 +363,20 @@ def _flash_mqa_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, L_ref, D_ref, dq_ref,
         dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
 
 
-def _flash_mqa_bwd_dkv_kernel(q_ref, do_ref, L_ref, D_ref, k_ref, v_ref,
-                              dk_ref, dv_ref, *, scale, nk):
-    """dK/dV for one (batch, k-block) output tile, accumulated over the (head,
-    q-block) grid dimensions (multi-query: K/V are shared across heads, so their
-    grads sum over h)."""
-    first = jnp.logical_and(pl.program_id(2) == 0, pl.program_id(3) == 0)
-
-    @pl.when(first)
+def _flash_rows_bwd_dkv_kernel(q_ref, do_ref, L_ref, D_ref, k_ref, v_ref,
+                               dk_ref, dv_ref, *, scale, nk):
+    """dK/dV for one (batch, k-block) output tile, accumulated over the row-block
+    grid dimension (rows form: the multi-query head reduction is simply the
+    reduction over all R = n*h query rows)."""
+    @pl.when(pl.program_id(2) == 0)
     def _():
         dk_ref[...] = jnp.zeros_like(dk_ref)
         dv_ref[...] = jnp.zeros_like(dv_ref)
 
-    q = q_ref[0, 0]                                    # (bq, d)
-    do = do_ref[0, 0]                                  # (bq, d)
-    Lrow = L_ref[0, 0, 0][:, None]                     # (bq, 1)
-    Drow = D_ref[0, 0, 0][:, None]
+    q = q_ref[0]                                       # (bq, d)
+    do = do_ref[0]                                     # (bq, d)
+    Lrow = L_ref[0, 0][:, None]                        # (bq, 1), base-2 domain
+    Drow = D_ref[0, 0][:, None]
     kblk = k_ref[0]                                    # (bk, d)
     vblk = v_ref[0]
     bq = q.shape[0]
@@ -379,8 +384,8 @@ def _flash_mqa_bwd_dkv_kernel(q_ref, do_ref, L_ref, D_ref, k_ref, v_ref,
 
     s = jax.lax.dot_general(
         q, kblk, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale    # (bq, bk)
-    p = jnp.exp(s - Lrow)
+        preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    p = jnp.exp2(s - Lrow)
     # zero out padded key columns (their dk/dv rows stay 0 and are sliced off)
     col = pl.program_id(1) * block_k + jax.lax.broadcasted_iota(
         jnp.int32, (bq, block_k), 1)
@@ -402,16 +407,17 @@ def _flash_mqa_bwd_dkv_kernel(q_ref, do_ref, L_ref, D_ref, k_ref, v_ref,
         preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
-def _flash_mqa_backward_impl(q, k, v, do, lse, delta, scale, block_q=None,
-                             block_k=512, interpret=False):
-    """(dq, dk, dv) via the two Pallas kernels. `delta` = rowsum(dO*O), (b, h, n)."""
-    b, h, n, d = q.shape
+def _flash_rows_backward_impl(q, k, v, do, lse, delta, scale, block_q=None,
+                              block_k=512, interpret=False):
+    """(dq, dk, dv) via the two Pallas kernels, rows layout. `lse` is the base-2
+    scaled-domain logsumexp and `delta` = rowsum(dO*O), both (b, R)."""
+    b, rows, d = q.shape
     nk = k.shape[1]
 
-    block_q = block_q if block_q is not None else _pick_block_q(n)
-    block_q = min(block_q, n)
+    block_q = block_q if block_q is not None else _pick_block_q(rows)
+    block_q = min(block_q, rows)
     block_k = min(block_k, _round_up(nk, 128))
-    assert n % block_q == 0
+    assert rows % block_q == 0
 
     nk_pad = _round_up(nk, block_k)
     if nk_pad != nk:
@@ -421,56 +427,50 @@ def _flash_mqa_backward_impl(q, k, v, do, lse, delta, scale, block_q=None,
     else:
         k_p, v_p = k, v
 
-    q_r = q.reshape(b * h, n, d)
-    do_r = do.reshape(b * h, n, d)
-    lse_r = lse.reshape(b * h, 1, n)
-    delta_r = delta.reshape(b * h, 1, n)
+    lse_r = lse.reshape(b, 1, rows)
+    delta_r = delta.reshape(b, 1, rows)
 
-    # ---- dq: grid (b*h, q-blocks, k-blocks), accumulator in VMEM scratch ------------
+    # ---- dq: grid (b, row-blocks, k-blocks), accumulator in VMEM scratch ------------
     num_kb = nk_pad // block_k
     dq = pl.pallas_call(
-        functools.partial(_flash_mqa_bwd_dq_kernel, scale=scale, nk=nk,
+        functools.partial(_flash_rows_bwd_dq_kernel, scale=scale, nk=nk,
                           block_k=block_k, num_kb=num_kb),
-        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
-        grid=(b * h, n // block_q, num_kb),
+        out_shape=jax.ShapeDtypeStruct((b, rows, d), q.dtype),
+        grid=(b, rows // block_q, num_kb),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, i, kb: (bh, i, 0)),
-            pl.BlockSpec((1, block_k, d),
-                         lambda bh, i, kb, _h=h: (bh // _h, kb, 0)),
-            pl.BlockSpec((1, block_k, d),
-                         lambda bh, i, kb, _h=h: (bh // _h, kb, 0)),
-            pl.BlockSpec((1, block_q, d), lambda bh, i, kb: (bh, i, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda bh, i, kb: (bh, 0, i)),
-            pl.BlockSpec((1, 1, block_q), lambda bh, i, kb: (bh, 0, i)),
+            pl.BlockSpec((1, block_q, d), lambda bb, i, kb: (bb, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bb, i, kb: (bb, kb, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bb, i, kb: (bb, kb, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bb, i, kb: (bb, i, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bb, i, kb: (bb, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda bb, i, kb: (bb, 0, i)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, kb: (bh, i, 0)),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bb, i, kb: (bb, i, 0)),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=interpret,
-    )(q_r, k_p, v_p, do_r, lse_r, delta_r).reshape(b, h, n, d)
+    )(q, k_p, v_p, do, lse_r, delta_r)
 
-    # ---- dk/dv: grid (b, k-blocks, h, q-blocks); output blocks revisited across the
-    # two trailing grid dims and accumulated in place (multi-query head reduction)
+    # ---- dk/dv: grid (b, k-blocks, row-blocks); output blocks revisited across the
+    # trailing grid dim and accumulated in place
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_mqa_bwd_dkv_kernel, scale=scale, nk=nk),
+        functools.partial(_flash_rows_bwd_dkv_kernel, scale=scale, nk=nk),
         out_shape=[jax.ShapeDtypeStruct((b, nk_pad, d), jnp.float32),
                    jax.ShapeDtypeStruct((b, nk_pad, d), jnp.float32)],
-        grid=(b, nk_pad // block_k, h, n // block_q),
+        grid=(b, nk_pad // block_k, rows // block_q),
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bb, jb, hh, qb: (bb, hh, qb, 0)),
-            pl.BlockSpec((1, 1, block_q, d), lambda bb, jb, hh, qb: (bb, hh, qb, 0)),
-            pl.BlockSpec((1, 1, 1, block_q),
-                         lambda bb, jb, hh, qb: (bb, hh, 0, qb)),
-            pl.BlockSpec((1, 1, 1, block_q),
-                         lambda bb, jb, hh, qb: (bb, hh, 0, qb)),
-            pl.BlockSpec((1, block_k, d), lambda bb, jb, hh, qb: (bb, jb, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bb, jb, hh, qb: (bb, jb, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bb, jb, qb: (bb, qb, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bb, jb, qb: (bb, qb, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bb, jb, qb: (bb, 0, qb)),
+            pl.BlockSpec((1, 1, block_q), lambda bb, jb, qb: (bb, 0, qb)),
+            pl.BlockSpec((1, block_k, d), lambda bb, jb, qb: (bb, jb, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bb, jb, qb: (bb, jb, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, d), lambda bb, jb, hh, qb: (bb, jb, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bb, jb, hh, qb: (bb, jb, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bb, jb, qb: (bb, jb, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bb, jb, qb: (bb, jb, 0)),
         ],
         interpret=interpret,
-    )(q, do, lse.reshape(b, h, 1, n), delta.reshape(b, h, 1, n), k_p, v_p)
+    )(q, do, lse_r, delta_r, k_p, v_p)
 
     dk = dk[:, :nk].astype(k.dtype)
     dv = dv[:, :nk].astype(v.dtype)
@@ -504,61 +504,95 @@ def _naive_cosine_mqa(q, k, v, q_scale, k_scale, scale):
 
 
 # --- public entry points (custom VJP, flash both directions) -------------------------------
+#
+# The custom VJPs live at the ROWS level; the (b, h, n, d) entry points are free
+# reshape wrappers ((b,h,n,d) -> (b, h*n, d) is a contiguous collapse).
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def flash_multiquery_attention(q, k, v, scale):
-    """Flash multi-query attention over pre-normalized q/k: q (b,h,n,d), k/v (b,nk,d)."""
-    return _flash_mqa_forward(q, k, v, scale, interpret=_INTERPRET)
+def flash_mqa_rows(q, k, v, scale):
+    """Flash rows attention over pre-normalized q: q (b, R, d), k/v (b, nk, d)."""
+    return _flash_rows_forward(q, k, v, scale, interpret=_INTERPRET)
 
 
-def _fwd(q, k, v, scale):
-    out, lse = _flash_mqa_forward(q, k, v, scale, return_stats=True,
-                                  interpret=_INTERPRET)
+def _rows_fwd(q, k, v, scale):
+    out, lse = _flash_rows_forward(q, k, v, scale, return_stats=True,
+                                   interpret=_INTERPRET)
     return out, (q, k, v, out, lse)
 
 
-def _bwd(scale, residuals, g):
+def _rows_bwd(scale, residuals, g):
     q, k, v, o, lse = residuals
-    return _flash_mqa_backward_impl(q, k, v, g, lse, _delta(g, o), scale,
-                                    interpret=_INTERPRET)
+    return _flash_rows_backward_impl(q, k, v, g, lse, _delta(g, o), scale,
+                                     interpret=_INTERPRET)
 
 
-flash_multiquery_attention.defvjp(_fwd, _bwd)
+flash_mqa_rows.defvjp(_rows_fwd, _rows_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def flash_cosine_mqa(q, k, v, q_scale, k_scale, scale):
-    """Fused cosine-sim flash attention: raw q/k + learned per-dim gains; the
+def flash_cosine_mqa_rows(q, k, v, q_scale, k_scale, scale):
+    """Fused cosine-sim flash rows attention: raw q/k + learned per-dim gains; the
     l2norm+gain prologue runs inside the kernel."""
-    return _flash_mqa_forward(q, k, v, scale, q_scale=q_scale, k_scale=k_scale,
-                              interpret=_INTERPRET)
+    return _flash_rows_forward(q, k, v, scale, q_scale=q_scale, k_scale=k_scale,
+                               interpret=_INTERPRET)
 
 
-def _cos_fwd(q, k, v, q_scale, k_scale, scale):
-    out, lse = _flash_mqa_forward(q, k, v, scale, q_scale=q_scale, k_scale=k_scale,
-                                  return_stats=True, interpret=_INTERPRET)
+def _cos_rows_fwd(q, k, v, q_scale, k_scale, scale):
+    out, lse = _flash_rows_forward(q, k, v, scale, q_scale=q_scale,
+                                   k_scale=k_scale, return_stats=True,
+                                   interpret=_INTERPRET)
     return out, (q, k, v, q_scale, k_scale, out, lse)
 
 
-def _cos_bwd(scale, residuals, g):
+def _cos_rows_bwd(scale, residuals, g):
     """Backward through the fused cosine prologue: recompute normalized q/k with XLA
     (elementwise, fused), run the flash backward kernels at the normalized boundary,
     then chain the l2norm+gain VJP for (dq, dq_scale) / (dk, dk_scale)."""
     q, k, v, q_scale, k_scale, o, lse = residuals
     qn, vjp_q = jax.vjp(_xla_l2norm_scale, q, q_scale)
     kn, vjp_k = jax.vjp(_xla_l2norm_scale, k, k_scale)
-    dqn, dkn, dv = _flash_mqa_backward_impl(
+    dqn, dkn, dv = _flash_rows_backward_impl(
         qn, kn, v, g, lse, _delta(g, o), scale, interpret=_INTERPRET)
     dq, dqs = vjp_q(dqn)
     dk, dks = vjp_k(dkn)
     return dq, dk, dv, dqs, dks
 
 
-flash_cosine_mqa.defvjp(_cos_fwd, _cos_bwd)
+flash_cosine_mqa_rows.defvjp(_cos_rows_fwd, _cos_rows_bwd)
 
 
-def flash_attention_available(q_len, dim_head, has_mask, has_bias):
-    """Heuristic gate for routing through the flash kernel."""
+def flash_multiquery_attention(q, k, v, scale):
+    """Flash multi-query attention over pre-normalized q/k: q (b,h,n,d), k/v (b,nk,d)."""
+    b, h, n, d = q.shape
+    return flash_mqa_rows(q.reshape(b, h * n, d), k, v, scale).reshape(b, h, n, d)
+
+
+def flash_cosine_mqa(q, k, v, q_scale, k_scale, scale):
+    """Fused cosine-sim flash attention, (b, h, n, d) layout."""
+    b, h, n, d = q.shape
+    out = flash_cosine_mqa_rows(q.reshape(b, h * n, d), k, v,
+                                q_scale, k_scale, scale)
+    return out.reshape(b, h, n, d)
+
+
+def _flash_mqa_forward(q, k, v, scale, block_q=None, block_k=512, interpret=False,
+                       q_scale=None, k_scale=None, return_stats=False):
+    """(b, h, n, d)-layout forward wrapper (tests / direct kernel exercise)."""
+    b, h, n, d = q.shape
+    out = _flash_rows_forward(q.reshape(b, h * n, d), k, v, scale,
+                              block_q=block_q, block_k=block_k,
+                              interpret=interpret, q_scale=q_scale,
+                              k_scale=k_scale, return_stats=return_stats)
+    if return_stats:
+        o, lse = out
+        return o.reshape(b, h, n, d), lse.reshape(b, h, n)
+    return out.reshape(b, h, n, d)
+
+
+def flash_attention_available(q_len, dim_head, has_mask, has_bias, heads=1):
+    """Heuristic gate for routing through the flash kernel. `heads` lets the gate
+    check divisibility on the actual row count R = q_len*heads (the rows layout
+    makes e.g. 40x40=1600-token fmaps tileable at h=8 where q_len alone is not)."""
     import os
     if os.environ.get('IMAGEN_TPU_DISABLE_PALLAS'):
         # trace-time kill switch: bench.py lowers the XLA-only path once to get
@@ -570,8 +604,8 @@ def flash_attention_available(q_len, dim_head, has_mask, has_bias):
         return False
     if dim_head > 128:
         return False
-    if _pick_block_q(q_len) is None:
-        # e.g. image_size=160 -> 40x40=1600 tokens: no aligned q-block tiles it;
-        # fall back to the XLA path instead of crashing at trace time
+    if _pick_block_q(q_len * heads) is None:
+        # no aligned row-block tiles the row axis: fall back to the XLA path
+        # instead of crashing at trace time
         return False
     return jax.default_backend() == 'tpu'

@@ -165,6 +165,28 @@ def test_cross_embed_layer():
     assert out.shape == (2, 8, 8, 32)
 
 
+def test_cross_embed_tiled_matches_plain_convs():
+    """The per-scale phase-tiled stem path == the plain multi-conv definition
+    (reference imagen_pytorch.py:1051-1076) on identical parameters."""
+    import flax.linen as nn
+    x = jax.random.normal(KEY, (2, 16, 16, 3))
+    mod = blocks.CrossEmbedLayer(kernel_sizes=(3, 7, 15), dim_out=32, stride=1)
+    variables = mod.init({'params': KEY}, x)
+    out = mod.apply(variables, x)
+
+    dim_scales = [16, 8, 8]
+    ref = []
+    for i, (kernel, dim_scale) in enumerate(zip((3, 7, 15), dim_scales)):
+        pad = (kernel - 1) // 2
+        conv = nn.Conv(dim_scale, (kernel, kernel), strides=(1, 1),
+                       padding=((pad, pad), (pad, pad)))
+        ref.append(conv.apply(
+            {'params': variables['params'][f'conv_{i}']}, x))
+    ref = jnp.concatenate(ref, axis=-1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_upsample_combiner():
     x = jax.random.normal(KEY, (2, 8, 8, 16))
     fmaps = [jax.random.normal(jax.random.PRNGKey(i), (2, s, s, d))
