@@ -469,7 +469,9 @@ class ElucidatedImagen:
             resize_kwargs = (
                 dict(target_frames=frame_dim) if self.is_video else {})
 
-            key, stage_key, lr_key = jax.random.split(key, 3)
+            # static fold_in instead of an eager 3-way split: see imagen.py's
+            # stage loop — eager PRNG ops cost host<->device round trips per stage
+            stage_key = jax.random.fold_in(key, index) if unet.lowres_cond else key
 
             stage_cond_video_frames = cond_video_frames
             stage_post_cond_video_frames = post_cond_video_frames
@@ -492,7 +494,8 @@ class ElucidatedImagen:
                 lowres_cond_img = self.normalize_img(lowres_cond_img)
                 lowres_cond_img, *_ = self.lowres_noise_schedule_.q_sample(
                     lowres_cond_img, lowres_noise_times,
-                    jax.random.normal(lr_key, lowres_cond_img.shape))
+                    jax.random.normal(jax.random.fold_in(key, 1000 + index),
+                                      lowres_cond_img.shape))
 
             unet_init_images = init_images[index]
             if exists(unet_init_images):

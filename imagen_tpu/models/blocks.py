@@ -194,34 +194,19 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None, mask=None, attn_bias=None):
-        from imagen_tpu.ops.fused_norm import fused_ln_matmul, fused_lnmm_available
-
         b = x.shape[0]
         dim = x.shape[-1]
         inner_dim = self.dim_head * self.heads
-        rows = b * x.shape[1]
-        eps = 1e-5 if x.dtype == jnp.float32 else 1e-3
-        qkv_n = inner_dim + 2 * self.dim_head
 
-        if fused_lnmm_available(rows, dim, qkv_n, self.dtype):
-            # pre-norm fused into a single concatenated q/kv projection —
-            # same params, one VMEM-resident pass instead of LN passes + 2 matmuls
-            lecun = nn.initializers.lecun_normal()
-            g_ln = _ParamOnly((dim,), nn.initializers.ones, 'g',
-                              name='LayerNorm_0')()
-            wq = _ParamOnly((dim, inner_dim), lecun, name='to_q')()
-            wkv = _ParamOnly((dim, self.dim_head * 2), lecun, name='to_kv')()
-            qkv = fused_ln_matmul(
-                x.astype(self.dtype), g_ln,
-                jnp.concatenate([wq, wkv], axis=1), eps)
-            q, k, v = jnp.split(qkv, [inner_dim, inner_dim + self.dim_head],
-                                axis=-1)
-        else:
-            x = LayerNorm(dtype=self.dtype)(x)
-            q = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype, name='to_q')(x)
-            kv = nn.Dense(self.dim_head * 2, use_bias=False, dtype=self.dtype,
-                          name='to_kv')(x)
-            k, v = jnp.split(kv, 2, axis=-1)
+        # plain module path: fusing the pre-norm into the q/kv projection with a
+        # Pallas kernel (ops.fused_norm.fused_ln_matmul) measured ~5% SLOWER
+        # end-to-end on v5e — XLA's own norm+matmul fusion wins here, as with
+        # fused_film_norm (see BENCH.md kernel table)
+        x = LayerNorm(dtype=self.dtype)(x)
+        q = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype, name='to_q')(x)
+        kv = nn.Dense(self.dim_head * 2, use_bias=False, dtype=self.dtype,
+                      name='to_kv')(x)
+        k, v = jnp.split(kv, 2, axis=-1)
 
         # null key/value for classifier-free guidance
         null_kv = self.param('null_kv', nn.initializers.normal(1.0),
@@ -251,13 +236,6 @@ class Attention(nn.Module):
             attn_bias=attn_bias, null_tokens=num_prepended,
             q_scale=q_scale, k_scale=k_scale)
 
-        from imagen_tpu.ops.fused_norm import fused_lnmm_available, fused_matmul_ln
-        if fused_lnmm_available(rows, inner_dim, dim, self.dtype):
-            w_out = _ParamOnly((inner_dim, dim),
-                               nn.initializers.lecun_normal(), name='to_out')()
-            g_out = _ParamOnly((dim,), nn.initializers.ones, 'g',
-                               name='out_norm')()
-            return fused_matmul_ln(out.astype(self.dtype), w_out, g_out, eps)
         out = nn.Dense(dim, use_bias=False, dtype=self.dtype, name='to_out')(out)
         return LayerNorm(dtype=self.dtype, name='out_norm')(out)
 
@@ -278,26 +256,16 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, mask=None):
-        from imagen_tpu.ops.fused_norm import fused_ln_matmul, fused_lnmm_available
-
         b = x.shape[0]
         dim = x.shape[-1]
         inner_dim = self.dim_head * self.heads
-        rows = b * x.shape[1]
-        eps = 1e-5 if x.dtype == jnp.float32 else 1e-3
 
         if self.norm_context:
             context = LayerNorm(dtype=self.dtype, name='norm_context')(context)
 
-        if fused_lnmm_available(rows, dim, inner_dim, self.dtype):
-            g_ln = _ParamOnly((dim,), nn.initializers.ones, 'g',
-                              name='LayerNorm_0')()
-            wq = _ParamOnly((dim, inner_dim),
-                            nn.initializers.lecun_normal(), name='to_q')()
-            q = fused_ln_matmul(x.astype(self.dtype), g_ln, wq, eps)
-        else:
-            x = LayerNorm(dtype=self.dtype)(x)
-            q = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype, name='to_q')(x)
+        # plain module path — see Attention for the fused_ln_matmul negative result
+        x = LayerNorm(dtype=self.dtype)(x)
+        q = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype, name='to_q')(x)
         kv = nn.Dense(inner_dim * 2, use_bias=False, dtype=self.dtype, name='to_kv')(context)
         k, v = jnp.split(kv, 2, axis=-1)
 
@@ -342,13 +310,6 @@ class CrossAttention(nn.Module):
             out = kernelized_linear_attention(q, k, v, scale=self.scale)
             out = rearrange(out, '(b h) n d -> b n (h d)', h=self.heads)
 
-        from imagen_tpu.ops.fused_norm import fused_matmul_ln
-        if fused_lnmm_available(rows, inner_dim, dim, self.dtype):
-            w_out = _ParamOnly((inner_dim, dim),
-                               nn.initializers.lecun_normal(), name='to_out')()
-            g_out = _ParamOnly((dim,), nn.initializers.ones, 'g',
-                               name='out_norm')()
-            return fused_matmul_ln(out.astype(self.dtype), w_out, g_out, eps)
         out = nn.Dense(dim, use_bias=False, dtype=self.dtype, name='to_out')(out)
         return LayerNorm(dtype=self.dtype, name='out_norm')(out)
 

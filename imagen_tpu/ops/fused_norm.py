@@ -319,12 +319,15 @@ fused_feedforward.defvjp(_ff_fwd, _ff_bwd)
 
 # --- fused LayerNorm->matmul and matmul->LayerNorm --------------------------------------
 #
-# The attention blocks sandwich their projections between LayerNorms
-# (reference imagen_pytorch.py:502-591: pre-norm -> to_q/to_kv, and
-# to_out -> out LayerNorm). Fusing the norm INTO the adjacent matmul removes its
-# separate HBM passes without creating a norm<->matmul pallas boundary (the
-# failure mode documented at fused_layernorm above). Same availability rules and
-# XLA-recompute backward as fused_feedforward.
+# NEGATIVE RESULT — kept as a documented reference, NOT wired into the model
+# (like fused_film_norm above). Fusing the attention pre-norm into the q/kv
+# projection and the out-projection into the out-norm measured ~5% SLOWER
+# end-to-end on the v5e base-64 sampler (115.5 -> 121.5 steps/s when unwired,
+# round 2): XLA's own norm+matmul fusion emits better code at these shapes,
+# and the kernel's per-block fp32 LN recompute wastes VPU time. The transformer
+# FeedForward fusion (fused_feedforward above) by contrast measured +2.5
+# steps/s and stays wired. Same availability rules and XLA-recompute backward
+# as fused_feedforward.
 
 def _lnmm_kernel(x_ref, g_ref, w_ref, o_ref, *, eps):
     x = x_ref[...].astype(jnp.float32)

@@ -12,7 +12,8 @@ from imagen_tpu.ops.flash_attention import (
 
 
 @pytest.mark.parametrize('n,nk', [(256, 256), (256, 291), (512, 300)])
-def test_flash_matches_naive(n, nk):
+@pytest.mark.parametrize('tier', ['loop', 'stream'])
+def test_flash_matches_naive(n, nk, tier):
     key = jax.random.PRNGKey(0)
     kq, kk, kv = jax.random.split(key, 3)
     b, h, d = 2, 3, 64
@@ -22,7 +23,7 @@ def test_flash_matches_naive(n, nk):
 
     out_naive = _naive_mqa(q, k, v, scale=8.)
     out_flash = _flash_mqa_forward(q, k, v, scale=8., block_q=128, block_k=128,
-                                   interpret=True)
+                                   interpret=True, _force_tier=tier)
     # online-softmax accumulation order differs from the single-pass reference
     np.testing.assert_allclose(
         np.asarray(out_flash), np.asarray(out_naive), atol=5e-4, rtol=1e-3)
