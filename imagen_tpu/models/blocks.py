@@ -644,7 +644,7 @@ class CrossEmbedLayer(nn.Module):
 
     TPU note: XLA's conv lowering is degenerate for tiny input-channel counts
     (the RGB stem: C_in=3, 15x15 kernel measured ~6 TF/s on v5e — ~400 us/step
-    on the flagship unet). For stride-1 stems with c <= 4, the three scale
+    on the flagship unet). For stride-1 stems with c <= 4, the per-scale
     kernels are merged into one max-K kernel and run as a phase-tiled conv:
     2x2 space-to-depth input (c -> 4c), one (K+1)/2-sized conv producing all 4
     output phases, depth-to-space out. Identical math, MXU-shaped contraction.
@@ -666,6 +666,9 @@ class CrossEmbedLayer(nn.Module):
 
         c = x.shape[-1]
         tiled = (self.stride == 1 and c <= 4 and max(kernel_sizes) % 2 == 1
+                 # c>4 (e.g. the SR stem's 6ch input at 1024^2) measured SLOWER
+                 # tiled: the s2d/d2s relayouts outgrow the conv win at that scale
+
                  and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
         if tiled:
             # One shared space-to-depth input padded for the LARGEST kernel;
