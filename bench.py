@@ -20,9 +20,10 @@ import jax.numpy as jnp
 
 TIMESTEPS = int(os.environ.get('BENCH_TIMESTEPS', 64))
 COND_SCALE = float(os.environ.get('BENCH_COND_SCALE', 3.0))
-# 'base64' | 'cascade' | 'sr1024' | 'edm' | 'video'
+# 'base64' | 'cascade' | 'sr1024' | 'edm' | 'video' | 'train'
 MODE = os.environ.get('BENCH_MODE', 'base64')
-_DEFAULT_BATCH = {'base64': 8, 'cascade': 4, 'edm': 4, 'sr1024': 1, 'video': 1}
+_DEFAULT_BATCH = {'base64': 8, 'cascade': 4, 'edm': 4, 'sr1024': 1, 'video': 1,
+                  'train': 32}
 BATCH = int(os.environ.get('BENCH_BATCH', 0)) or _DEFAULT_BATCH.get(MODE, 8)
 VIDEO_FRAMES = int(os.environ.get('BENCH_VIDEO_FRAMES', 16))
 
@@ -34,6 +35,7 @@ ROUND1 = {
     'sr1024': 1 / 7.21,    # 256->1024 SR tail images/sec @ batch 1, 32 steps, CFG 3
     'edm': 1.50,           # EDM 64->256 images/sec/chip @ batch 4, 64+32 steps, CFG 3
     'video': 1 / 1.38,     # 16-frame 64px clips/sec @ batch 1, 32 steps, CFG 3
+    'train': None,         # first measured in round 2 (train_steps_per_sec @ b16)
 }
 
 
@@ -53,7 +55,7 @@ def build_imagen():
         max_text_len=256,
         dtype=jnp.bfloat16,
     )
-    if MODE == 'base64':
+    if MODE in ('base64', 'train'):
         return Imagen(
             unets=(base,), image_sizes=(64,), text_embed_dim=768,
             timesteps=TIMESTEPS, cond_drop_prob=0.1)
@@ -157,6 +159,74 @@ _TOTAL_STEPS = {
 }
 
 
+def main_train():
+    """Training throughput: fused ImagenTrainer step (fwd+bwd+clip+adam+EMA,
+    donated buffers) on the flagship base-64 unet with mock batches."""
+    import numpy as np
+    from imagen_tpu.trainer import ImagenTrainer
+
+    imagen = build_imagen()
+    # sync_loss=False: the device loss comes back as an async array so steps
+    # pipeline — blocking on float(loss) every step left the chip 57% idle
+    # over the tunnel transport (profiled)
+    trainer = ImagenTrainer(imagen=imagen, lr=1e-4, use_ema=True,
+                            ema_update_after_step=0, ema_update_every=1,
+                            sync_loss=False)
+    rng = np.random.RandomState(0)
+    batch = {
+        'images': jnp.asarray(rng.rand(BATCH, 64, 64, 3), jnp.float32),
+        'text_embeds': jnp.asarray(rng.randn(BATCH, 256, 768), jnp.float32),
+        'text_masks': jnp.ones((BATCH, 256), bool),
+    }
+
+    def run_n(n):
+        loss = None
+        for _ in range(n):
+            loss = trainer.step_with_batch(dict(batch), unet_number=1)
+        return float(loss)  # one sync at the end of the window
+
+    run_n(2)  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_n(10)
+        times.append((time.perf_counter() - t0) / 10)
+    elapsed = min(times)
+    steps_per_sec = 1.0 / elapsed
+
+    # training FLOPs from XLA cost analysis of the fused step (XLA-only path)
+    mfu = None
+    os.environ['IMAGEN_TPU_DISABLE_PALLAS'] = '1'
+    try:
+        tr2 = ImagenTrainer(imagen=build_imagen(), lr=1e-4, use_ema=True,
+                            ema_update_after_step=0, ema_update_every=1)
+        tr2._ensure_state(0)
+        b2, n_chunks = tr2._prep_batch(dict(batch), None)
+        step_fn = tr2._get_step_fn('train', 0, n_chunks)
+        lowered = step_fn.lower(
+            tr2.params[0], tr2.opt_states[0], tr2.ema_params[0],
+            jnp.asarray(tr2.steps[0]), b2, jax.random.PRNGKey(0))
+        ca = lowered.compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        mfu = round(float(ca['flops']) * steps_per_sec / V5E_BF16_PEAK, 4)
+    except Exception:
+        pass
+    finally:
+        os.environ.pop('IMAGEN_TPU_DISABLE_PALLAS', None)
+
+    print(json.dumps({
+        'metric': 'train_steps_per_sec',
+        'value': round(steps_per_sec, 4),
+        'unit': 'steps/sec',
+        'vs_baseline': 1.0,  # first measured in round 2
+        'samples_per_sec_per_chip': round(BATCH * steps_per_sec, 3),
+        'batch': BATCH,
+        'mode': MODE,
+        'device': str(jax.devices()[0]),
+        **({'mfu': mfu} if mfu is not None else {}),
+    }))
+
+
 def main():
     imagen = build_imagen()
 
@@ -230,4 +300,4 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    main_train() if MODE == 'train' else main()

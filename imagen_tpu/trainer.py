@@ -148,6 +148,9 @@ class ImagenTrainer:
         max_checkpoints_keep=20,
         mesh=None,
         seed=0,
+        sync_loss=True,                 # False: train/step return the DEVICE loss
+                                        # scalar (no host sync) so steps pipeline —
+                                        # essential over high-latency transports
         **kwargs,
     ):
         # process-level lock only matters multi-controller (reference trainer.py:256)
@@ -208,6 +211,7 @@ class ImagenTrainer:
         self.opt_states = [None] * self.num_unets
         self.ema_params = [None] * self.num_unets
         self.steps = np.zeros(self.num_unets, dtype=np.int64)
+        self._dev_steps = {}   # device-resident step counters (see step_with_batch)
 
         if exists(loaded_params):
             self.params = list(loaded_params)
@@ -219,6 +223,7 @@ class ImagenTrainer:
 
         self.mesh = mesh
         self.rng = jax.random.PRNGKey(seed)
+        self.sync_loss = sync_loss
 
         self.verbose = verbose
         self.dl_tuple_output_keywords_names = dl_tuple_output_keywords_names
@@ -434,7 +439,11 @@ class ImagenTrainer:
         use_ema = self.use_ema
         ema_cfg = self.ema_config
 
-        def step_fn(params, opt_state, ema, step, batch, key):
+        def step_fn(params, opt_state, ema, step, batch, rng):
+            # the per-step key derives INSIDE the program: an eager host-side
+            # jax.random.split costs a device round trip per step (56% device
+            # idle measured over the axon tunnel); here it fuses into the step
+            rng, key = jax.random.split(rng)
             if n_chunks == 1:
                 loss, grads = jax.value_and_grad(
                     lambda p: self._loss_for_batch(index, p, batch, key))(params)
@@ -462,7 +471,7 @@ class ImagenTrainer:
             if use_ema:
                 ema = ema_update(ema_cfg, ema, params, step + 1)
 
-            return params, opt_state, ema, step + 1, loss
+            return params, opt_state, ema, step + 1, rng, loss
 
         return jax.jit(step_fn, donate_argnums=(0, 1, 2))
 
@@ -588,16 +597,23 @@ class ImagenTrainer:
              _) = self._get_step_fn('update', index)(
                 self.params[index], self.opt_states[index], self.ema_params[index],
                 jnp.asarray(self.steps[index]), grads)
+            self._dev_steps.pop(index, None)
             loss = float(loss)
         else:
             batch, n_chunks = self._prep_batch(batch, max_batch_size)
-            self.rng, key = jax.random.split(self.rng)
             step_fn = self._get_step_fn('train', index, n_chunks)
+            # step counter stays device-resident between steps (re-uploading the
+            # host int is one more per-step transfer); host `self.steps` remains
+            # the source of truth for checkpoint cadence / num_steps_taken
+            dev_step = self._dev_steps.get(index)
+            if dev_step is None:
+                dev_step = jnp.asarray(self.steps[index])
             (self.params[index], self.opt_states[index], self.ema_params[index],
-             new_step, loss) = step_fn(
+             self._dev_steps[index], self.rng, loss) = step_fn(
                 self.params[index], self.opt_states[index], self.ema_params[index],
-                jnp.asarray(self.steps[index]), batch, key)
-            loss = float(loss)  # device sync
+                dev_step, batch, self.rng)
+            if self.sync_loss:
+                loss = float(loss)  # device sync (reference returns a python float)
         self.step_timer.stop()
         self.steps[index] += 1
 
@@ -686,6 +702,7 @@ class ImagenTrainer:
          _) = self._get_step_fn('update', index)(
             self.params[index], self.opt_states[index], self.ema_params[index],
             jnp.asarray(self.steps[index]), grads)
+        self._dev_steps.pop(index, None)
         self.steps[index] += 1
         self._maybe_checkpoint()
 
@@ -825,6 +842,7 @@ class ImagenTrainer:
             return loaded
 
         self.steps = np.asarray(loaded['steps'], dtype=np.int64).copy()
+        self._dev_steps.clear()
 
         for i in range(self.num_unets):
             key = f'optim{i}'
