@@ -327,12 +327,27 @@ class TemporalPeg(nn.Module):
     def __call__(self, x):
         dim = x.shape[-1]
         pad = (2, 0) if self.causal else (1, 1)
-        h, w = x.shape[2], x.shape[3]
-        xt = rearrange(x, 'b f h w c -> (b h w) f c')
-        out = nn.Conv(dim, (3,), padding=(pad,), feature_group_count=dim,
-                      dtype=self.dtype, name='conv')(xt)
-        out = rearrange(out, '(b h w) f c -> b f h w c', h=h, w=w)
-        return out + x
+
+        class _Conv(nn.Module):
+            """Holds the same conv/{kernel,bias} params as the 1D nn.Conv."""
+            @nn.compact
+            def __call__(self):
+                k = self.param('kernel', nn.initializers.lecun_normal(),
+                               (3, 1, dim))
+                b = self.param('bias', nn.initializers.zeros, (dim,))
+                return k, b
+
+        # depthwise (3,1,1) conv directly on NFHWC — the reference's
+        # time-centric rearrange (imagen_video.py:257-270) is a real HBM
+        # transpose on TPU; a 3D conv with unit spatial taps is the same math
+        # with zero relayout. Param tree unchanged ('conv' kernel/bias).
+        w3, b3 = _Conv(name='conv')()
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w3.reshape(3, 1, 1, 1, dim).astype(self.dtype),
+            (1, 1, 1), ((pad[0], pad[1]), (0, 0), (0, 0)),
+            dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'),
+            feature_group_count=dim)
+        return out + b3.astype(out.dtype) + x
 
 
 # --- token-shift feedforward -------------------------------------------------------------
