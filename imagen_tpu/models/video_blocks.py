@@ -222,6 +222,8 @@ class VideoAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None, mask=None, attn_bias=None):
+        import imagen_tpu.ops.flash_attention as fa
+
         b, n = x.shape[0], x.shape[1]
         dim = x.shape[-1]
         inner_dim = self.dim_head * self.heads
@@ -232,7 +234,6 @@ class VideoAttention(nn.Module):
         kv = nn.Dense(self.dim_head * 2, use_bias=False, dtype=self.dtype,
                       name='to_kv')(x)
         k, v = jnp.split(kv, 2, axis=-1)
-        q = rearrange(q, 'b n (h d) -> b h n d', h=self.heads)
 
         null_kv = self.param('null_kv', nn.initializers.normal(1.0),
                              (2, self.dim_head), jnp.float32)
@@ -253,10 +254,6 @@ class VideoAttention(nn.Module):
 
         q_scale = self.param('q_scale', nn.initializers.ones, (self.dim_head,), jnp.float32)
         k_scale = self.param('k_scale', nn.initializers.ones, (self.dim_head,), jnp.float32)
-        q = l2norm(q) * q_scale.astype(q.dtype)
-        k = l2norm(k) * k_scale.astype(k.dtype)
-
-        sim = jnp.einsum('bhid,bjd->bhij', q, k) * self.scale
 
         # T5-style relative position bias over the (non-null) frame keys
         if not exists(attn_bias) and self.rel_pos_bias:
@@ -264,28 +261,77 @@ class VideoAttention(nn.Module):
                 dim=dim, heads=self.heads, depth=self.rel_pos_bias_mlp_depth,
                 dtype=self.dtype, name='dyn_pos_bias')(n)
 
+        # per-pixel additive bias (h, n, nk_local) incl. the null column
+        bias_full = None
         if exists(attn_bias):
             null_attn_bias = self.param(
                 'null_attn_bias', nn.initializers.normal(1.0),
                 (self.heads,), jnp.float32)
-            nb = repeat(null_attn_bias.astype(sim.dtype), 'h -> h n 1', n=n)
-            attn_bias = jnp.concatenate((nb, attn_bias.astype(sim.dtype)), axis=-1)
-            sim = sim + attn_bias[None]
+            nb = repeat(null_attn_bias.astype(jnp.float32), 'h -> h n 1', n=n)
+            bias_full = jnp.concatenate(
+                (nb, attn_bias.astype(jnp.float32)), axis=-1)
 
-        max_neg = -jnp.finfo(sim.dtype).max
+        nk_local = k.shape[-2]
+        G = (fa.grouped_temporal_available(
+                b, n * self.heads, nk_local, interpret=fa._INTERPRET)
+             if not (exists(context) or exists(mask)) else None)
 
-        if self.causal:
-            i, j = sim.shape[-2:]
-            causal_mask = jnp.triu(jnp.ones((i, j), dtype=bool), j - i + 1)
-            sim = jnp.where(causal_mask, max_neg, sim)
+        plain = not (exists(bias_full) or self.causal or exists(mask)
+                     or exists(context))
+        if exists(G) and plain and fa.flash_attention_available(
+                n, self.dim_head, False, False, heads=self.heads):
+            G = None  # bias-free long attention: the plain rows kernel is better
 
-        if exists(mask):
-            mask_p = jnp.pad(mask, ((0, 0), (num_prepended, 0)), constant_values=True)
-            sim = jnp.where(mask_p[:, None, None, :], sim, max_neg)
+        if plain and not exists(G) and fa.flash_attention_available(
+                n, self.dim_head, False, False, heads=self.heads):
+            # bias-free flattened attention (e.g. Unet3D mid_attn over
+            # (f x y) tokens): standard rows flash route, no tile needed
+            q_rows = q.reshape(b, n * self.heads, self.dim_head)
+            out = fa.flash_cosine_mqa_rows(
+                q_rows, k, v, q_scale, k_scale, self.scale)
+            out = out.reshape(b, n, inner_dim)
+        elif exists(G):
+            # grouped rows path: frames*heads rows per pixel share one KV — MQA —
+            # so G pixels batch into one dense program with a block-diagonal bias
+            # tile instead of b*h*w tiny (n, nk) attentions (see
+            # ops.flash_attention, grouped section)
+            bias_fhj = (rearrange(bias_full, 'h n j -> n h j')
+                        if exists(bias_full)
+                        else jnp.zeros((n, self.heads, nk_local), jnp.float32))
+            causal_mask = (jnp.triu(jnp.ones((n, nk_local), bool),
+                                    nk_local - n + 1)
+                           if self.causal else None)
+            tile = fa.build_grouped_bias(bias_fhj, causal_mask, G)
+            q_rows = q.reshape(b // G, G * n * self.heads, self.dim_head)
+            k_g = k.reshape(b // G, G * nk_local, self.dim_head)
+            v_g = v.reshape(b // G, G * nk_local, self.dim_head)
+            out = fa.flash_grouped_cosine(
+                q_rows, k_g, v_g, q_scale, k_scale, tile, self.scale)
+            out = out.reshape(b, n, inner_dim)
+        else:
+            q = rearrange(q, 'b n (h d) -> b h n d', h=self.heads)
+            q = l2norm(q) * q_scale.astype(q.dtype)
+            k = l2norm(k) * k_scale.astype(k.dtype)
 
-        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(sim.dtype)
-        out = jnp.einsum('bhij,bjd->bhid', attn, v)
-        out = rearrange(out, 'b h n d -> b n (h d)')
+            sim = jnp.einsum('bhid,bjd->bhij', q, k) * self.scale
+            if exists(bias_full):
+                sim = sim + bias_full[None].astype(sim.dtype)
+
+            max_neg = -jnp.finfo(sim.dtype).max
+
+            if self.causal:
+                i, j = sim.shape[-2:]
+                causal_mask = jnp.triu(jnp.ones((i, j), dtype=bool), j - i + 1)
+                sim = jnp.where(causal_mask, max_neg, sim)
+
+            if exists(mask):
+                mask_p = jnp.pad(mask, ((0, 0), (num_prepended, 0)),
+                                 constant_values=True)
+                sim = jnp.where(mask_p[:, None, None, :], sim, max_neg)
+
+            attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(sim.dtype)
+            out = jnp.einsum('bhij,bjd->bhid', attn, v)
+            out = rearrange(out, 'b h n d -> b n (h d)')
         out = nn.Dense(dim, use_bias=False, dtype=self.dtype, name='to_out')(out)
 
         g_init = nn.initializers.zeros if self.init_zero else nn.initializers.ones

@@ -113,7 +113,7 @@ def _q_prologue(q, q_scale_ref, scale, fuse_l2norm):
 
 
 def _flash_rows_kernel(q_ref, k_ref, v_ref, o_ref, l_ref=None, *, scale, nk,
-                       fuse_l2norm, q_scale_ref=None):
+                       fuse_l2norm, q_scale_ref=None, bias_ref=None):
     """One-shot program: the whole padded key axis is a single block, so the
     online-softmax rescaling collapses to one plain softmax over the full
     similarity tile — measured ~27% faster at the unet's 32x32 attention shape
@@ -132,7 +132,11 @@ def _flash_rows_kernel(q_ref, k_ref, v_ref, o_ref, l_ref=None, *, scale, nk,
     s = jax.lax.dot_general(
         q, k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)               # base-2 scaled domain
-    if nk != nk_pad:
+    if bias_ref is not None:
+        # additive bias already in the base-2 domain; its pad columns carry
+        # _NEG_INF so the explicit pad mask below is subsumed
+        s = s + bias_ref[0]
+    elif nk != nk_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, (bi, nk_pad), 1)
         s = jnp.where(col < nk, s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -197,7 +201,8 @@ def _flash_rows_stream_kernel(q_ref, k_ref, v_ref, o_ref, l_ref,
 
 
 def _flash_rows_loop_kernel(q_ref, k_ref, v_ref, o_ref, l_ref=None, *, scale, nk,
-                            block_k, num_kb, fuse_l2norm, q_scale_ref=None):
+                            block_k, num_kb, fuse_l2norm, q_scale_ref=None,
+                            bias_ref=None):
     """Loop-resident program: whole padded K/V live in VMEM; an in-kernel
     fori_loop streams key blocks through the online softmax. One program per
     (batch, row-block) — no per-k-block grid overhead. Used when K/V fit the
@@ -212,7 +217,10 @@ def _flash_rows_loop_kernel(q_ref, k_ref, v_ref, o_ref, l_ref=None, *, scale, nk
         s = jax.lax.dot_general(
             q, kblk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        if nk % block_k:
+        if bias_ref is not None:
+            # base-2-domain additive bias; pad columns carry _NEG_INF
+            s = s + bias_ref[0, :, pl.ds(jb * block_k, block_k)]
+        elif nk % block_k:
             col = jb * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (bi, block_k), 1)
             s = jnp.where(col < nk, s, _NEG_INF)
@@ -240,12 +248,15 @@ def _round_up(x, m):
 
 def _flash_rows_forward(q, k, v, scale, block_q=None, block_k=512, interpret=False,
                         q_scale=None, k_scale=None, return_stats=False,
-                        _force_tier=None):
+                        bias=None, _force_tier=None):
     """q: (b, R, d) rows; k/v: (b, nk, d) shared KV head.
 
     q_scale/k_scale given => fuse the cosine-sim l2norm+gain into the kernel.
     return_stats=True additionally returns the per-row log2-sum-exp2 L (b, R) fp32
-    (base-2 scaled domain) needed by the flash backward."""
+    (base-2 scaled domain) needed by the flash backward.
+    bias: optional (R, nk) fp32 additive bias in the BASE-2 scaled domain (i.e.
+    already multiplied by log2(e)), shared across the batch dim; -inf entries
+    mask. One-shot tier only (used by the grouped temporal-attention path)."""
     b, rows, d = q.shape
     nk = k.shape[1]
     fuse = q_scale is not None
@@ -324,44 +335,37 @@ def _flash_rows_forward(q, k, v, scale, block_q=None, block_k=512, interpret=Fal
     if fuse:
         in_specs += [qs_spec]
         args += [q_scale.reshape(1, d)]
+    has_bias = bias is not None
+    if has_bias:
+        # works on the whole-key-resident tiers (one-shot and loop; `oneshot` is
+        # True for both here — the loop branch adopts the same wrapper arity);
+        # the bias block is row-block x full padded keys, so cap its VMEM size
+        assert oneshot and nk_pad <= _ONESHOT_MAX_NK, \
+            'additive bias needs a whole-key-resident tier with small nk'
+        bias_p = jnp.full((rows, nk_pad), _NEG_INF, jnp.float32)
+        bias_p = bias_p.at[:, :nk].set(bias.astype(jnp.float32))
+        in_specs += [pl.BlockSpec((1, block_q, nk_pad), lambda bb, i: (0, i, 0))]
+        args += [bias_p[None]]
 
     if return_stats:
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((b, 1, rows), jnp.float32)]
         out_spec = [out_spec, lse_spec]
 
-    if oneshot:
+    n_in = 3 + int(fuse) + int(has_bias)
+    n_out = 2 if return_stats else 1
+
+    def kernel(*refs):
+        ins, outs, scr = refs[:n_in], refs[n_in:n_in + n_out], refs[n_in + n_out:]
+        qs_ref = ins[3] if fuse else None
+        b_ref = ins[3 + int(fuse)] if has_bias else None
+        kw = {}
         if fuse:
-            if return_stats:
-                def kernel(q_ref, k_ref, v_ref, qs_ref, o_ref, l_ref):
-                    kern(q_ref, k_ref, v_ref, o_ref, l_ref, q_scale_ref=qs_ref)
-            else:
-                def kernel(q_ref, k_ref, v_ref, qs_ref, o_ref):
-                    kern(q_ref, k_ref, v_ref, o_ref, q_scale_ref=qs_ref)
-        else:
-            if return_stats:
-                def kernel(q_ref, k_ref, v_ref, o_ref, l_ref):
-                    kern(q_ref, k_ref, v_ref, o_ref, l_ref)
-            else:
-                def kernel(q_ref, k_ref, v_ref, o_ref):
-                    kern(q_ref, k_ref, v_ref, o_ref)
-    else:
-        if fuse:
-            if return_stats:
-                def kernel(q_ref, k_ref, v_ref, qs_ref, o_ref, l_ref, *scr):
-                    kern(q_ref, k_ref, v_ref, o_ref, l_ref, *scr,
-                         q_scale_ref=qs_ref)
-            else:
-                def kernel(q_ref, k_ref, v_ref, qs_ref, o_ref, *scr):
-                    kern(q_ref, k_ref, v_ref, o_ref, None, *scr,
-                         q_scale_ref=qs_ref)
-        else:
-            if return_stats:
-                def kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *scr):
-                    kern(q_ref, k_ref, v_ref, o_ref, l_ref, *scr)
-            else:
-                def kernel(q_ref, k_ref, v_ref, o_ref, *scr):
-                    kern(q_ref, k_ref, v_ref, o_ref, None, *scr)
+            kw['q_scale_ref'] = qs_ref
+        if has_bias:
+            kw['bias_ref'] = b_ref
+        kern(ins[0], ins[1], ins[2], outs[0],
+             outs[1] if return_stats else None, *scr, **kw)
 
     # batch and row-block grid dims are embarrassingly parallel; the streamed key
     # dim carries the online-softmax state and must stay sequential. Declaring
@@ -687,3 +691,89 @@ def flash_attention_available(q_len, dim_head, has_mask, has_bias, heads=1):
         # instead of crashing at trace time
         return False
     return jax.default_backend() == 'tpu'
+
+
+# --- grouped rows attention with additive bias (temporal-attention fast path) ---------
+#
+# Video temporal attention is MQA over R = frames*heads rows PER PIXEL with a tiny
+# KV (frames+null). Each pixel alone is far too small a program, so G pixels batch
+# into one: their rows/keys concatenate (free reshapes of the contiguous layouts)
+# and a block-diagonal additive bias tile kills the cross-pixel terms. The G-fold
+# extra sim FLOPs are trivial at these sizes; what matters is that the batched
+# tiny-matmul XLA path (16x17 sims at 13% lane utilization, ~35% of the video
+# sampler step) becomes dense MXU work. Backward falls back to the XLA recompute
+# (the forward is the sampling hot path; training cost is unchanged).
+
+def _grouped_rows_naive(q, k, v, q_scale, k_scale, bias_e, scale):
+    """XLA reference semantics for the grouped kernel (bias in the natural
+    domain, -1e30 = masked)."""
+    qn = _xla_l2norm_scale(q, q_scale)
+    kn = _xla_l2norm_scale(k, k_scale)
+    sim = jnp.einsum('brd,bjd->brj', qn, kn).astype(jnp.float32) * scale
+    sim = sim + bias_e[None].astype(jnp.float32)
+    attn = jax.nn.softmax(sim, axis=-1).astype(q.dtype)
+    return jnp.einsum('brj,bjd->brd', attn, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def flash_grouped_cosine(q, k, v, q_scale, k_scale, bias_e, scale):
+    """Grouped rows attention: q (B, R, d), k/v (B, nk, d), bias_e (R, nk) fp32
+    additive bias in the natural domain (use -1e30 to mask, NOT -inf)."""
+    return _flash_rows_forward(q, k, v, scale, q_scale=q_scale, k_scale=k_scale,
+                               bias=bias_e * _LOG2E, interpret=_INTERPRET)
+
+
+def _grouped_fwd(q, k, v, q_scale, k_scale, bias_e, scale):
+    out = _flash_rows_forward(q, k, v, scale, q_scale=q_scale, k_scale=k_scale,
+                              bias=bias_e * _LOG2E, interpret=_INTERPRET)
+    return out, (q, k, v, q_scale, k_scale, bias_e)
+
+
+def _grouped_bwd(scale, residuals, g):
+    q, k, v, q_scale, k_scale, bias_e = residuals
+    _, vjp = jax.vjp(
+        lambda *a: _grouped_rows_naive(*a, scale), q, k, v, q_scale, k_scale,
+        bias_e)
+    return vjp(g)
+
+
+flash_grouped_cosine.defvjp(_grouped_fwd, _grouped_bwd)
+
+
+def grouped_temporal_available(batch, rows_pp, nk_local, interpret=False):
+    """Gate for the grouped temporal path: pick the pixel group size G (None if
+    the shapes don't tile)."""
+    import os
+    if os.environ.get('IMAGEN_TPU_DISABLE_PALLAS'):
+        return None
+    if not (interpret or jax.default_backend() == 'tpu'):
+        return None
+    G = max(1, 1024 // max(rows_pp, 1))
+    while G > 1 and (batch % G or _round_up(G * nk_local, 128) > _ONESHOT_MAX_NK):
+        G //= 2
+    if batch % G or _round_up(G * nk_local, 128) > _ONESHOT_MAX_NK:
+        return None  # keys too long even ungrouped (e.g. flattened spatial attn)
+    rows_tile = G * rows_pp
+    if rows_tile > 4096:
+        return None  # bias tile (rows_tile, nk_pad) would outgrow its value
+    if rows_tile % 8 or _oneshot_block_q(rows_tile,
+                                         _round_up(G * nk_local, 128)) is None:
+        return None
+    return G
+
+
+def build_grouped_bias(bias_fhj, causal_mask, G):
+    """Block-diagonal additive bias tile for `flash_grouped_cosine`.
+
+    bias_fhj: (f, h, nk_local) fp32 per-pixel additive bias (natural domain).
+    causal_mask: (f, nk_local) bool, True = masked, or None.
+    Returns (G*f*h, G*nk_local) fp32 with -1e30 on cross-pixel and masked terms.
+    """
+    f, h, nkl = bias_fhj.shape
+    blk = bias_fhj
+    if causal_mask is not None:
+        blk = jnp.where(causal_mask[:, None, :], _NEG_INF, blk)
+    blk = blk.reshape(f * h, nkl)
+    eye = jnp.eye(G, dtype=bool)[:, None, :, None]
+    tile = jnp.where(eye, blk[None, :, None, :], _NEG_INF)
+    return tile.reshape(G * f * h, G * nkl)

@@ -162,3 +162,60 @@ def test_fused_film_norm_grads():
     for a, b_ in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_grouped_temporal_matches_xla(interpret_mode):
+    """The grouped temporal-attention fast path (G pixels per program,
+    block-diagonal bias tile) == the VideoAttention XLA path."""
+    fa = interpret_mode
+    import imagen_tpu.models.video_blocks as vb
+
+    b, f, heads, d, c = 16, 8, 4, 32, 64   # rows_pp = 32, nk_local = 9
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, f, c))
+
+    mod = vb.VideoAttention(dim_head=d, heads=heads, causal=True,
+                            rel_pos_bias=True, init_zero=False)
+    variables = mod.init(jax.random.PRNGKey(1), x)
+
+    G = fa.grouped_temporal_available(b, f * heads, f + 1, interpret=True)
+    assert G is not None and G > 1, 'grouped path must engage for this shape'
+    out_grouped = mod.apply(variables, x)
+
+    orig = fa.grouped_temporal_available
+    fa.grouped_temporal_available = lambda *a, **kw: None
+    try:
+        out_xla = mod.apply(variables, x)
+    finally:
+        fa.grouped_temporal_available = orig
+
+    np.testing.assert_allclose(np.asarray(out_grouped), np.asarray(out_xla),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_grouped_temporal_grads(interpret_mode):
+    """Grouped path gradients (XLA-recompute backward) vs the XLA path."""
+    fa = interpret_mode
+    import imagen_tpu.models.video_blocks as vb
+
+    b, f, heads, d, c = 16, 8, 4, 32, 64
+    x = jax.random.normal(jax.random.PRNGKey(2), (b, f, c))
+    mod = vb.VideoAttention(dim_head=d, heads=heads, causal=True,
+                            rel_pos_bias=True, init_zero=False)
+    variables = mod.init(jax.random.PRNGKey(3), x)
+
+    def loss(v_, use_grouped):
+        orig = fa.grouped_temporal_available
+        if not use_grouped:
+            fa.grouped_temporal_available = lambda *a, **kw: None
+        try:
+            return jnp.sum(mod.apply(v_, x).astype(jnp.float32) ** 2)
+        finally:
+            fa.grouped_temporal_available = orig
+
+    g1 = jax.grad(lambda v_: loss(v_, True))(variables)
+    g2 = jax.grad(lambda v_: loss(v_, False))(variables)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat2 = jax.tree_util.tree_leaves(g2)
+    for a, b_ in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-2, rtol=3e-2)
