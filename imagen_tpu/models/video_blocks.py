@@ -273,16 +273,12 @@ class VideoAttention(nn.Module):
 
         nk_local = k.shape[-2]
         G = (fa.grouped_temporal_available(
-                b, n * self.heads, nk_local, interpret=fa._INTERPRET)
+                b, n, self.heads, nk_local, interpret=fa._INTERPRET)
              if not (exists(context) or exists(mask)) else None)
 
         plain = not (exists(bias_full) or self.causal or exists(mask)
                      or exists(context))
-        if exists(G) and plain and fa.flash_attention_available(
-                n, self.dim_head, False, False, heads=self.heads):
-            G = None  # bias-free long attention: the plain rows kernel is better
-
-        if plain and not exists(G) and fa.flash_attention_available(
+        if plain and fa.flash_attention_available(
                 n, self.dim_head, False, False, heads=self.heads):
             # bias-free flattened attention (e.g. Unet3D mid_attn over
             # (f x y) tokens): standard rows flash route, no tile needed
@@ -291,22 +287,23 @@ class VideoAttention(nn.Module):
                 q_rows, k, v, q_scale, k_scale, self.scale)
             out = out.reshape(b, n, inner_dim)
         elif exists(G):
-            # grouped rows path: frames*heads rows per pixel share one KV — MQA —
-            # so G pixels batch into one dense program with a block-diagonal bias
-            # tile instead of b*h*w tiny (n, nk) attentions (see
-            # ops.flash_attention, grouped section)
-            bias_fhj = (rearrange(bias_full, 'h n j -> n h j')
-                        if exists(bias_full)
-                        else jnp.zeros((n, self.heads, nk_local), jnp.float32))
+            # grouped packed path: frames*heads rows per pixel share one KV —
+            # MQA — so G pixels batch into one dense program with a
+            # block-diagonal bias tile instead of b*h*w tiny (n, nk)
+            # attentions; the kernel lane-slices heads from the packed q block
+            # so no head retile touches HBM (ops.flash_attention, grouped
+            # section)
+            bias_hfj = (bias_full if exists(bias_full)
+                        else jnp.zeros((self.heads, n, nk_local), jnp.float32))
             causal_mask = (jnp.triu(jnp.ones((n, nk_local), bool),
                                     nk_local - n + 1)
                            if self.causal else None)
-            tile = fa.build_grouped_bias(bias_fhj, causal_mask, G)
-            q_rows = q.reshape(b // G, G * n * self.heads, self.dim_head)
+            tile = fa.build_grouped_bias(bias_hfj, causal_mask, G)
+            q_g = q.reshape(b // G, G * n, inner_dim)
             k_g = k.reshape(b // G, G * nk_local, self.dim_head)
             v_g = v.reshape(b // G, G * nk_local, self.dim_head)
             out = fa.flash_grouped_cosine(
-                q_rows, k_g, v_g, q_scale, k_scale, tile, self.scale)
+                q_g, k_g, v_g, q_scale, k_scale, tile, self.scale, self.heads)
             out = out.reshape(b, n, inner_dim)
         else:
             q = rearrange(q, 'b n (h d) -> b h n d', h=self.heads)

@@ -693,87 +693,150 @@ def flash_attention_available(q_len, dim_head, has_mask, has_bias, heads=1):
     return jax.default_backend() == 'tpu'
 
 
-# --- grouped rows attention with additive bias (temporal-attention fast path) ---------
+# --- grouped temporal attention, packed I/O (video fast path) -------------------------
 #
-# Video temporal attention is MQA over R = frames*heads rows PER PIXEL with a tiny
-# KV (frames+null). Each pixel alone is far too small a program, so G pixels batch
-# into one: their rows/keys concatenate (free reshapes of the contiguous layouts)
-# and a block-diagonal additive bias tile kills the cross-pixel terms. The G-fold
-# extra sim FLOPs are trivial at these sizes; what matters is that the batched
-# tiny-matmul XLA path (16x17 sims at 13% lane utilization, ~35% of the video
-# sampler step) becomes dense MXU work. Backward falls back to the XLA recompute
-# (the forward is the sampling hot path; training cost is unchanged).
+# Video temporal attention is MQA over frames*heads rows PER PIXEL with a tiny
+# KV (frames+null). Each pixel alone is far too small a program, so G pixels
+# batch into one: their rows/keys concatenate (free reshapes of the contiguous
+# layouts) and a block-diagonal additive bias tile kills the cross-pixel terms.
+# The kernel consumes the PACKED (G*frames, heads*d) q block directly and
+# lane-slices each head inside (Mosaic handles static lane slices exactly) —
+# no (b, n, h*d) -> rows retile ever touches HBM. Backward falls back to the
+# XLA recompute (the forward is the sampling hot path; training is unchanged).
 
-def _grouped_rows_naive(q, k, v, q_scale, k_scale, bias_e, scale):
-    """XLA reference semantics for the grouped kernel (bias in the natural
-    domain, -1e30 = masked)."""
-    qn = _xla_l2norm_scale(q, q_scale)
+def _grouped_packed_kernel(q_ref, k_ref, v_ref, qs_ref, bias_ref, o_ref, *,
+                           heads, d):
+    kblk = k_ref[0]                                   # (nkp, d), pre-normalized
+    vblk = v_ref[0]
+    rows = q_ref.shape[1]                             # G * frames
+    gain = qs_ref[0].astype(jnp.float32)              # scale*log2e prefolded
+    for hh in range(heads):
+        qh = _l2norm_scale(q_ref[0][:, hh * d:(hh + 1) * d], gain)
+        s = jax.lax.dot_general(
+            qh, kblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (rows, nkp), base-2
+        s = s + bias_ref[0, pl.ds(hh * rows, rows), :]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(vblk.dtype), vblk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, :, hh * d:(hh + 1) * d] = (acc / l).astype(o_ref.dtype)
+
+
+def _grouped_packed_forward(q, k, v, q_scale, k_scale, bias_e, scale, heads,
+                            interpret=False):
+    """q: (B, rows, heads*d) packed; k/v: (B, nk, d); bias_e: (heads*rows, nk)
+    fp32 natural-domain additive bias (-1e30 masks)."""
+    B, rows, hd = q.shape
+    d = hd // heads
+    nk = k.shape[1]
+    nkp = _round_up(nk, 128)
+
+    k = _xla_l2norm_scale(k, k_scale)
+    if nkp != nk:
+        pad = ((0, 0), (0, nkp - nk), (0, 0))
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    bias2 = jnp.full((heads * rows, nkp), _NEG_INF, jnp.float32)
+    bias2 = bias2.at[:, :nk].set(bias_e.astype(jnp.float32) * _LOG2E)
+
+    return pl.pallas_call(
+        functools.partial(_grouped_packed_kernel, heads=heads, d=d),
+        out_shape=jax.ShapeDtypeStruct((B, rows, hd), q.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, rows, hd), lambda bb: (bb, 0, 0)),
+            pl.BlockSpec((1, nkp, d), lambda bb: (bb, 0, 0)),
+            pl.BlockSpec((1, nkp, d), lambda bb: (bb, 0, 0)),
+            pl.BlockSpec((1, d), lambda bb: (0, 0)),
+            pl.BlockSpec((1, heads * rows, nkp), lambda bb: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, rows, hd), lambda bb: (bb, 0, 0)),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=('parallel',)),
+    )(q, k, v, (q_scale * (scale * _LOG2E)).reshape(1, d), bias2[None])
+
+
+def _grouped_packed_naive(q, k, v, q_scale, k_scale, bias_e, scale, heads):
+    """XLA reference semantics for the packed grouped kernel."""
+    B, rows, hd = q.shape
+    d = hd // heads
+    nk = k.shape[1]
+    q4 = q.reshape(B, rows, heads, d)
+    qn = _xla_l2norm_scale(q4, q_scale)
     kn = _xla_l2norm_scale(k, k_scale)
-    sim = jnp.einsum('brd,bjd->brj', qn, kn).astype(jnp.float32) * scale
-    sim = sim + bias_e[None].astype(jnp.float32)
+    sim = jnp.einsum('brhd,bjd->bhrj', qn, kn).astype(jnp.float32) * scale
+    sim = sim + bias_e.reshape(heads, rows, nk)[None]
     attn = jax.nn.softmax(sim, axis=-1).astype(q.dtype)
-    return jnp.einsum('brj,bjd->brd', attn, v)
+    out = jnp.einsum('bhrj,bjd->brhd', attn, v)
+    return out.reshape(B, rows, hd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def flash_grouped_cosine(q, k, v, q_scale, k_scale, bias_e, scale):
-    """Grouped rows attention: q (B, R, d), k/v (B, nk, d), bias_e (R, nk) fp32
-    additive bias in the natural domain (use -1e30 to mask, NOT -inf)."""
-    return _flash_rows_forward(q, k, v, scale, q_scale=q_scale, k_scale=k_scale,
-                               bias=bias_e * _LOG2E, interpret=_INTERPRET)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def flash_grouped_cosine(q, k, v, q_scale, k_scale, bias_e, scale, heads):
+    """Grouped packed temporal attention (see module section comment).
+
+    q (B, rows, heads*d); k/v (B, nk, d); bias_e (heads*rows, nk) fp32 additive
+    bias in the natural domain (use -1e30 to mask, NOT -inf)."""
+    return _grouped_packed_forward(q, k, v, q_scale, k_scale, bias_e, scale,
+                                   heads, interpret=_INTERPRET)
 
 
-def _grouped_fwd(q, k, v, q_scale, k_scale, bias_e, scale):
-    out = _flash_rows_forward(q, k, v, scale, q_scale=q_scale, k_scale=k_scale,
-                              bias=bias_e * _LOG2E, interpret=_INTERPRET)
+def _grouped_fwd(q, k, v, q_scale, k_scale, bias_e, scale, heads):
+    out = _grouped_packed_forward(q, k, v, q_scale, k_scale, bias_e, scale,
+                                  heads, interpret=_INTERPRET)
     return out, (q, k, v, q_scale, k_scale, bias_e)
 
 
-def _grouped_bwd(scale, residuals, g):
+def _grouped_bwd(scale, heads, residuals, g):
     q, k, v, q_scale, k_scale, bias_e = residuals
     _, vjp = jax.vjp(
-        lambda *a: _grouped_rows_naive(*a, scale), q, k, v, q_scale, k_scale,
-        bias_e)
+        lambda *a: _grouped_packed_naive(*a, scale, heads), q, k, v, q_scale,
+        k_scale, bias_e)
     return vjp(g)
 
 
 flash_grouped_cosine.defvjp(_grouped_fwd, _grouped_bwd)
 
 
-def grouped_temporal_available(batch, rows_pp, nk_local, interpret=False):
+def grouped_temporal_available(batch, frames, heads, nk_local, interpret=False):
     """Gate for the grouped temporal path: pick the pixel group size G (None if
-    the shapes don't tile)."""
+    the shapes don't tile). Targets ~128-row per-head tiles (MXU-full M) with
+    the whole (heads*G*frames, nk_pad) bias resident in VMEM."""
     import os
     if os.environ.get('IMAGEN_TPU_DISABLE_PALLAS'):
         return None
     if not (interpret or jax.default_backend() == 'tpu'):
         return None
-    G = max(1, 1024 // max(rows_pp, 1))
+    G = max(1, 128 // max(frames, 1))
     while G > 1 and (batch % G or _round_up(G * nk_local, 128) > _ONESHOT_MAX_NK):
         G //= 2
     if batch % G or _round_up(G * nk_local, 128) > _ONESHOT_MAX_NK:
         return None  # keys too long even ungrouped (e.g. flattened spatial attn)
-    rows_tile = G * rows_pp
-    if rows_tile > 4096:
-        return None  # bias tile (rows_tile, nk_pad) would outgrow its value
-    if rows_tile % 8 or _oneshot_block_q(rows_tile,
-                                         _round_up(G * nk_local, 128)) is None:
+    rows = G * frames
+    if rows % 8 or rows > 1024:
         return None
+    if heads * rows * _round_up(G * nk_local, 128) * 4 > 4 * 1024 * 1024:
+        return None  # bias tile would crowd VMEM
     return G
 
 
-def build_grouped_bias(bias_fhj, causal_mask, G):
+def build_grouped_bias(bias_hfj, causal_mask, G):
     """Block-diagonal additive bias tile for `flash_grouped_cosine`.
 
-    bias_fhj: (f, h, nk_local) fp32 per-pixel additive bias (natural domain).
+    bias_hfj: (heads, f, nk_local) fp32 per-pixel additive bias (natural domain).
     causal_mask: (f, nk_local) bool, True = masked, or None.
-    Returns (G*f*h, G*nk_local) fp32 with -1e30 on cross-pixel and masked terms.
+    Returns (heads*G*f, G*nk_local) fp32 with -1e30 on cross-pixel and masked
+    terms; row order (head, pixel-in-group, frame) matches the packed kernel.
     """
-    f, h, nkl = bias_fhj.shape
-    blk = bias_fhj
+    h, f, nkl = bias_hfj.shape
+    blk = bias_hfj
     if causal_mask is not None:
-        blk = jnp.where(causal_mask[:, None, :], _NEG_INF, blk)
-    blk = blk.reshape(f * h, nkl)
-    eye = jnp.eye(G, dtype=bool)[:, None, :, None]
-    tile = jnp.where(eye, blk[None, :, None, :], _NEG_INF)
-    return tile.reshape(G * f * h, G * nkl)
+        blk = jnp.where(causal_mask[None], _NEG_INF, blk)
+    eye = jnp.eye(G, dtype=bool)[None, :, None, :, None]
+    tile = jnp.where(eye, blk[:, None, :, None, :], _NEG_INF)
+    return tile.reshape(h * G * f, G * nkl)

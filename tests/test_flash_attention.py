@@ -177,7 +177,7 @@ def test_grouped_temporal_matches_xla(interpret_mode):
                             rel_pos_bias=True, init_zero=False)
     variables = mod.init(jax.random.PRNGKey(1), x)
 
-    G = fa.grouped_temporal_available(b, f * heads, f + 1, interpret=True)
+    G = fa.grouped_temporal_available(b, f, heads, f + 1, interpret=True)
     assert G is not None and G > 1, 'grouped path must engage for this shape'
     out_grouped = mod.apply(variables, x)
 
