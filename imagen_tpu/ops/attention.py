@@ -89,6 +89,11 @@ def multiquery_attention_packed(q, k, v, heads, *, scale, mask=None,
     d = hd // heads
     if flash_attention_available(n, d, exists(mask), exists(attn_bias),
                                  heads=heads):
+        # NB: a packed-I/O variant that lane-slices heads in-kernel (avoiding
+        # the rows retile, like the video grouped kernel) measured SLOWER here
+        # (118.9 vs 122.1 steps/s): Mosaic keeps each unrolled head's sim tile
+        # live, forcing 128-pixel blocks whose small matmuls cost more than
+        # the retile saves at nk~1.2k. The retile stays.
         q_rows = q.reshape(b, n * heads, d)
         if exists(q_scale):
             out = flash_cosine_mqa_rows(q_rows, k, v, q_scale, k_scale, scale)
