@@ -665,9 +665,12 @@ class CrossEmbedLayer(nn.Module):
         dim_scales = [*dim_scales, self.dim_out - sum(dim_scales)]
 
         c = x.shape[-1]
-        tiled = (self.stride == 1 and c <= 4 and max(kernel_sizes) % 2 == 1
-                 # c>4 (e.g. the SR stem's 6ch input at 1024^2) measured SLOWER
-                 # tiled: the s2d/d2s relayouts outgrow the conv win at that scale
+        # phase tiling wins in isolation at every measured shape, but at
+        # 1024^2 the depth-to-space output layout slows downstream consumers
+        # more than the conv saves end-to-end (6.85 vs 6.30 s/image SR tail);
+        # at <=512^2 it is a clear net win (cascade 3.97 -> 4.38 img/s)
+        tiled = (self.stride == 1 and c <= 8 and max(kernel_sizes) % 2 == 1
+                 and x.shape[1] * x.shape[2] <= 512 * 512
 
                  and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
         if tiled:
