@@ -1,15 +1,20 @@
-"""Benchmark: DDPM sampler denoising-step throughput on the flagship base unet.
+"""Benchmark: sampler / trainer throughput on the flagship configs.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-North-star metrics (BASELINE.md): DDPM sampler steps/sec, images/sec/chip,
-p50 sec/image. The reference publishes no numbers (BASELINE.md: "published: {}"),
-so vs_baseline is the regression/improvement ratio against OUR round-1 recorded
-numbers (BENCH_r01.json / BENCH.md) — >1.0 means faster than round 1.
+BENCH_MODE selects the config (BASELINE.md):
+  base64 (default) — DDPM sampler steps/sec, base Unet dim=128 @64x64, batch 8,
+                     CFG 3 (one doubled-batch forward), 64-step compiled scan;
+                     also prints MFU from XLA cost-analysis FLOPs
+  cascade          — 64->256 two-stage images/sec/chip
+  sr1024           — 256->1024 SR tail (NullUnet stage skipped)
+  edm              — ElucidatedImagen (churn + Heun) 64->256
+  video            — Unet3D 16-frame 64px clips/sec
+  train            — fused ImagenTrainer step samples/sec (+ training MFU)
 
-Config: base Unet (dim=128, mults 1-2-3-4, attn at 3 lower resolutions) at 64x64,
-batch 8, bf16 activations, mock T5 embeds (b, 256, 768), CFG cond_scale=3 (2 unet
-forwards per step) — the hot loop of BASELINE config 2's base stage.
+The reference publishes no numbers (BASELINE.md: "published: {}"), so
+vs_baseline is the ratio against OUR round-1 recorded numbers (BENCH_r01.json)
+— >1.0 means faster than round 1. Modes first measured in round 2 report 1.0.
 """
 import json
 import os
@@ -35,7 +40,7 @@ ROUND1 = {
     'sr1024': 1 / 7.21,    # 256->1024 SR tail images/sec @ batch 1, 32 steps, CFG 3
     'edm': 1.50,           # EDM 64->256 images/sec/chip @ batch 4, 64+32 steps, CFG 3
     'video': 1 / 1.38,     # 16-frame 64px clips/sec @ batch 1, 32 steps, CFG 3
-    'train': None,         # first measured in round 2 (train_steps_per_sec @ b16)
+    'train': None,         # first measured in round 2 (train_steps_per_sec)
 }
 
 
