@@ -347,7 +347,9 @@ class Unet3D(nn.Module):
                     name='attn_pool')(text_tokens)
 
             mean_pooled = jnp.mean(text_tokens, axis=-2)
-            th = LayerNorm(dtype=dtype, name='text_hidden_norm')(mean_pooled)
+            # torch nn.LayerNorm (scale+bias, mean-subtracting) per reference
+            # imagen_video.py:1399 — matches unet2d's text_hidden_norm
+            th = TorchLayerNorm(dtype=dtype, name='text_hidden_norm')(mean_pooled)
             th = nn.Dense(time_cond_dim, dtype=dtype, name='text_hidden_proj1')(th)
             th = jax.nn.silu(th)
             text_hiddens = nn.Dense(time_cond_dim, dtype=dtype,
@@ -477,10 +479,14 @@ class Unet3D(nn.Module):
 
         # --- middle ----------------------------------------------------------------------
         mid_dim = dims[-1]
+        # NB: the reference constructs mid_block1/2 as plain ResnetBlock
+        # (imagen_video.py:1507,1511), NOT via the attn-kwarg'd klass, so their
+        # cross-attention uses the CrossAttention defaults (dim_head=64, heads=8)
+        # regardless of attn_dim_head/attn_heads — mirrored exactly for
+        # weight-level parity (tools/port_weights_video.py), same as unet2d
         x = ResnetBlockVideoK(
             dim_out=mid_dim, cond_dim=cond_dim, time_cond_dim=time_cond_dim,
-            dtype=dtype, attn_dim_head=self.attn_dim_head,
-            attn_heads=self.attn_heads, name='mid_block1')(
+            dtype=dtype, name='mid_block1')(
                 x, t, c, ignore_time)
 
         if self.attend_at_middle:
@@ -498,8 +504,7 @@ class Unet3D(nn.Module):
 
         x = ResnetBlockVideoK(
             dim_out=mid_dim, cond_dim=cond_dim, time_cond_dim=time_cond_dim,
-            dtype=dtype, attn_dim_head=self.attn_dim_head,
-            attn_heads=self.attn_heads, name='mid_block2')(
+            dtype=dtype, name='mid_block2')(
                 x, t, c, ignore_time)
 
         # --- upsample path ---------------------------------------------------------------

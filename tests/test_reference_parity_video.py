@@ -1,0 +1,115 @@
+"""Cross-framework numerical parity for the VIDEO unet vs the PyTorch reference.
+
+Same harness pattern as tests/test_reference_parity.py, for `Unet3D`
+(reference imagen_video.py:1225-1941): identical randomly-initialized torch
+weights are ported with tools/port_weights_video.py and the forward outputs
+must agree in fp32. Exercises the pseudo-3D convs, temporal PEG, causal
+temporal attention with DynamicPositionBias, TimeTokenShift feedforwards,
+spatial/cross attention and the conditioning heads.
+
+The port intentionally covers the plain forward path (no prompt-frame
+conditioning: the repo fixes the reference's post-cond frame misalignment, a
+documented behavioral divergence — PARITY.md).
+"""
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tools.port_weights_video import port_unet3d_params
+from tools.ref_compat import load_reference
+
+ip = load_reference()
+
+from imagen_tpu.models.unet3d import Unet3D
+
+CFG = dict(
+    dim=8, dim_mults=(1, 2), num_resnet_blocks=1,
+    layer_attns=(False, True), layer_cross_attns=(False, True),
+    attn_heads=2, attn_dim_head=4, text_embed_dim=16, cond_dim=8,
+    max_text_len=8, temporal_strides=1,
+)
+
+
+def _randomize_final_conv(ref_unet):
+    with torch.no_grad():
+        torch.nn.init.normal_(ref_unet.final_conv.weight, std=0.2)
+        torch.nn.init.normal_(ref_unet.final_conv.bias, std=0.2)
+    return ref_unet
+
+
+def _ncfhw(x_nfhwc):
+    return np.ascontiguousarray(np.transpose(np.asarray(x_nfhwc), (0, 4, 1, 2, 3)))
+
+
+def _nfhwc(x_ncfhw):
+    return np.ascontiguousarray(np.transpose(np.asarray(x_ncfhw), (0, 2, 3, 4, 1)))
+
+
+def test_unet3d_forward_parity():
+    torch.manual_seed(0)
+    ref = _randomize_final_conv(ip.imagen_video.Unet3D(**CFG)).eval()
+
+    mine = Unet3D(**CFG)
+    b, f, hw = 2, 4, 16
+    rng = np.random.RandomState(0)
+    x = rng.randn(b, f, hw, hw, 3).astype(np.float32)
+    t = rng.rand(b).astype(np.float32)
+    te = rng.randn(b, 8, 16).astype(np.float32)
+    tm = np.ones((b, 8), bool)
+
+    variables = jax.jit(
+        lambda: mine.init(jax.random.PRNGKey(0), jnp.zeros((1, f, hw, hw, 3)),
+                          jnp.zeros((1,)), text_embeds=jnp.zeros((1, 8, 16)),
+                          text_mask=jnp.ones((1, 8), bool)))()
+    params = port_unet3d_params(ref.state_dict(), variables['params'])
+    variables = {'params': jax.tree_util.tree_map(jnp.asarray, params)}
+
+    out_mine = mine.apply(variables, jnp.asarray(x), jnp.asarray(t),
+                          text_embeds=jnp.asarray(te),
+                          text_mask=jnp.asarray(tm))
+
+    with torch.no_grad():
+        out_ref = ref(
+            torch.tensor(_ncfhw(x)), torch.tensor(t),
+            text_embeds=torch.tensor(te), text_mask=torch.tensor(tm),
+            cond_drop_prob=0.)
+
+    out_ref = _nfhwc(out_ref.numpy())
+    diff = float(np.abs(np.asarray(out_mine, np.float32) - out_ref).max())
+    assert diff <= 1e-4, f'Unet3D forward max-abs-diff {diff:.3e}'
+
+
+def test_unet3d_forward_parity_ignore_time():
+    """ignore_time=True trains the 3D net on stills (reference :1664,1743):
+    temporal convs/attention collapse to identity on the frame axis."""
+    torch.manual_seed(1)
+    ref = _randomize_final_conv(ip.imagen_video.Unet3D(**CFG)).eval()
+    mine = Unet3D(**CFG)
+
+    b, f, hw = 2, 4, 16
+    rng = np.random.RandomState(1)
+    x = rng.randn(b, f, hw, hw, 3).astype(np.float32)
+    t = rng.rand(b).astype(np.float32)
+    te = rng.randn(b, 8, 16).astype(np.float32)
+    tm = np.ones((b, 8), bool)
+
+    variables = jax.jit(
+        lambda: mine.init(jax.random.PRNGKey(0), jnp.zeros((1, f, hw, hw, 3)),
+                          jnp.zeros((1,)), text_embeds=jnp.zeros((1, 8, 16)),
+                          text_mask=jnp.ones((1, 8), bool)))()
+    params = port_unet3d_params(ref.state_dict(), variables['params'])
+    variables = {'params': jax.tree_util.tree_map(jnp.asarray, params)}
+
+    out_mine = mine.apply(variables, jnp.asarray(x), jnp.asarray(t),
+                          text_embeds=jnp.asarray(te),
+                          text_mask=jnp.asarray(tm), ignore_time=True)
+    with torch.no_grad():
+        out_ref = ref(
+            torch.tensor(_ncfhw(x)), torch.tensor(t),
+            text_embeds=torch.tensor(te), text_mask=torch.tensor(tm),
+            cond_drop_prob=0., ignore_time=True)
+    out_ref = _nfhwc(out_ref.numpy())
+    diff = float(np.abs(np.asarray(out_mine, np.float32) - out_ref).max())
+    assert diff <= 1e-4, f'Unet3D ignore_time forward max-abs-diff {diff:.3e}'
