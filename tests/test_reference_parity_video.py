@@ -113,3 +113,76 @@ def test_unet3d_forward_parity_ignore_time():
     out_ref = _nfhwc(out_ref.numpy())
     diff = float(np.abs(np.asarray(out_mine, np.float32) - out_ref).max())
     assert diff <= 1e-4, f'Unet3D ignore_time forward max-abs-diff {diff:.3e}'
+
+
+class _NoiseQueue:
+    """torch.randn/randn_like patch feeding pre-drawn host noise (video shapes)."""
+
+    def __init__(self, arrays):
+        self.arrays = list(arrays)
+        self._randn, self._randn_like = torch.randn, torch.randn_like
+
+    def __enter__(self):
+        def fake_randn(*shape, **kwargs):
+            if len(shape) == 1 and isinstance(shape[0], (tuple, torch.Size)):
+                shape = tuple(shape[0])
+            a = self.arrays.pop(0)
+            assert tuple(a.shape) == tuple(shape), (a.shape, shape)
+            return torch.tensor(a)
+
+        torch.randn = fake_randn
+        torch.randn_like = lambda t, **kw: fake_randn(*t.shape)
+        return self
+
+    def __exit__(self, *exc):
+        torch.randn, torch.randn_like = self._randn, self._randn_like
+        return False
+
+
+def test_video_ddpm_sample_parity():
+    """Fixed-noise DDPM VIDEO sampling with CFG + dynamic thresholding: the full
+    reference video cascade loop vs our compiled stage scan, identical weights
+    and identical noise (reference Imagen.sample video path,
+    imagen_pytorch.py:2294-2498 with video_frames)."""
+    from imagen_tpu.diffusion.imagen import Imagen
+
+    timesteps = 4
+    b, f, hw = 2, 4, 16
+
+    torch.manual_seed(5)
+    ref_unet = _randomize_final_conv(ip.imagen_video.Unet3D(**CFG)).float()
+    ref_imagen = ip.Imagen(
+        unets=ref_unet, image_sizes=(hw,), timesteps=timesteps,
+        text_embed_dim=16, cond_drop_prob=0.1).eval()
+
+    mine_unet = Unet3D(**CFG)
+    mine = Imagen(unets=(mine_unet,), image_sizes=(hw,), timesteps=timesteps,
+                  text_embed_dim=16, cond_drop_prob=0.1)
+
+    variables = jax.jit(
+        lambda: mine_unet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, f, hw, hw, 3)),
+            jnp.zeros((1,)), text_embeds=jnp.zeros((1, 8, 16)),
+            text_mask=jnp.ones((1, 8), bool)))()
+    params = port_unet3d_params(
+        ref_imagen.unets[0].state_dict(), variables['params'])
+    variables = {'params': jax.tree_util.tree_map(jnp.asarray, params)}
+
+    rng = np.random.RandomState(6)
+    emb = rng.randn(b, 8, 16).astype(np.float32)
+    init_noise = rng.randn(b, 3, f, hw, hw).astype(np.float32)
+    step_noises = rng.randn(timesteps, b, 3, f, hw, hw).astype(np.float32)
+
+    with torch.no_grad(), _NoiseQueue([init_noise, *step_noises]):
+        out_ref = ref_imagen.sample(
+            text_embeds=torch.tensor(emb), video_frames=f, cond_scale=2.,
+            use_tqdm=False).numpy()
+
+    out_mine = mine.sample(
+        (variables,), jax.random.PRNGKey(0), text_embeds=jnp.asarray(emb),
+        video_frames=f, cond_scale=2.,
+        noise_override=[(jnp.asarray(_nfhwc(init_noise)),
+                         jnp.asarray(np.stack([_nfhwc(s) for s in step_noises])))])
+
+    diff = np.abs(out_ref - _ncfhw(out_mine)).max()
+    assert diff <= 1e-2, f'video DDPM sample parity broke: max pixel diff {diff}'
