@@ -186,3 +186,53 @@ def test_video_ddpm_sample_parity():
 
     diff = np.abs(out_ref - _ncfhw(out_mine)).max()
     assert diff <= 1e-2, f'video DDPM sample parity broke: max pixel diff {diff}'
+
+
+def test_video_edm_sample_parity():
+    """Fixed-noise EDM VIDEO sampling (S_churn=0, 2 bounded-sigma steps: Euler +
+    Heun correction + per-step thresholding — see test_reference_parity.py's
+    EDM note on why an untrained random unet caps the usable step count)."""
+    from imagen_tpu.diffusion.elucidated import ElucidatedImagen
+
+    b, f, hw = 2, 4, 16
+    steps = 2
+    edm_kwargs = dict(num_sample_steps=steps, S_churn=0, sigma_min=0.3,
+                      sigma_max=20.)
+
+    torch.manual_seed(7)
+    ref_unet = _randomize_final_conv(ip.imagen_video.Unet3D(**CFG)).float()
+    ref_imagen = ip.ElucidatedImagen(
+        unets=ref_unet, image_sizes=(hw,), text_embed_dim=16,
+        cond_drop_prob=0.1, **edm_kwargs).eval()
+
+    mine_unet = Unet3D(**CFG)
+    mine = ElucidatedImagen(
+        unets=(mine_unet,), image_sizes=(hw,), text_embed_dim=16,
+        cond_drop_prob=0.1, **edm_kwargs)
+
+    variables = jax.jit(
+        lambda: mine_unet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, f, hw, hw, 3)),
+            jnp.zeros((1,)), text_embeds=jnp.zeros((1, 8, 16)),
+            text_mask=jnp.ones((1, 8), bool)))()
+    params = port_unet3d_params(
+        ref_imagen.unets[0].state_dict(), variables['params'])
+    variables = {'params': jax.tree_util.tree_map(jnp.asarray, params)}
+
+    rng = np.random.RandomState(8)
+    emb = rng.randn(b, 8, 16).astype(np.float32)
+    init_noise = rng.randn(b, 3, f, hw, hw).astype(np.float32)
+    extra = [rng.randn(b, 3, f, hw, hw).astype(np.float32) for _ in range(steps)]
+
+    with torch.no_grad(), _NoiseQueue([init_noise, *extra]):
+        out_ref = ref_imagen.sample(
+            text_embeds=torch.tensor(emb), video_frames=f, cond_scale=2.,
+            use_tqdm=False).numpy()
+
+    out_mine = mine.sample(
+        (variables,), jax.random.PRNGKey(0), text_embeds=jnp.asarray(emb),
+        video_frames=f, cond_scale=2.,
+        noise_override=[jnp.asarray(_nfhwc(init_noise))])
+
+    diff = np.abs(out_ref - _ncfhw(out_mine)).max()
+    assert diff <= 1e-2, f'video EDM sample parity broke: max pixel diff {diff}'
