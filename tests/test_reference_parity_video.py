@@ -236,3 +236,46 @@ def test_video_edm_sample_parity():
 
     diff = np.abs(out_ref - _ncfhw(out_mine)).max()
     assert diff <= 1e-2, f'video EDM sample parity broke: max pixel diff {diff}'
+
+
+def test_unet3d_forward_parity_lowres_cond():
+    """Video SR-stage unet: lowres frame conditioning (channel concat) + the
+    lowres aug-time conditioning head."""
+    cfg = dict(CFG, lowres_cond=True)
+    torch.manual_seed(9)
+    ref = _randomize_final_conv(ip.imagen_video.Unet3D(**cfg)).eval()
+    mine = Unet3D(**cfg)
+
+    b, f, hw = 2, 4, 16
+    rng = np.random.RandomState(9)
+    x = rng.randn(b, f, hw, hw, 3).astype(np.float32)
+    lr = rng.randn(b, f, hw, hw, 3).astype(np.float32)
+    t = rng.rand(b).astype(np.float32)
+    lt = rng.rand(b).astype(np.float32)
+    te = rng.randn(b, 8, 16).astype(np.float32)
+    tm = np.ones((b, 8), bool)
+
+    variables = jax.jit(
+        lambda: mine.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, f, hw, hw, 3)),
+            jnp.zeros((1,)), lowres_cond_img=jnp.zeros((1, f, hw, hw, 3)),
+            lowres_noise_times=jnp.zeros((1,)),
+            text_embeds=jnp.zeros((1, 8, 16)),
+            text_mask=jnp.ones((1, 8), bool)))()
+    params = port_unet3d_params(ref.state_dict(), variables['params'])
+    variables = {'params': jax.tree_util.tree_map(jnp.asarray, params)}
+
+    out_mine = mine.apply(
+        variables, jnp.asarray(x), jnp.asarray(t),
+        lowres_cond_img=jnp.asarray(lr), lowres_noise_times=jnp.asarray(lt),
+        text_embeds=jnp.asarray(te), text_mask=jnp.asarray(tm))
+    with torch.no_grad():
+        out_ref = ref(
+            torch.tensor(_ncfhw(x)), torch.tensor(t),
+            lowres_cond_img=torch.tensor(_ncfhw(lr)),
+            lowres_noise_times=torch.tensor(lt),
+            text_embeds=torch.tensor(te), text_mask=torch.tensor(tm),
+            cond_drop_prob=0.)
+    out_ref = _nfhwc(out_ref.numpy())
+    diff = float(np.abs(np.asarray(out_mine, np.float32) - out_ref).max())
+    assert diff <= 1e-4, f'Unet3D lowres forward max-abs-diff {diff:.3e}'
