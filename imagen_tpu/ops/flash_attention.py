@@ -528,6 +528,8 @@ def _flash_rows_backward_impl(q, k, v, do, lse, delta, scale, block_q=None,
         out_specs=pl.BlockSpec((1, block_q, d), lambda bb, i, kb: (bb, i, 0)),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
     )(q, k_p, v_p, do, lse_r, delta_r)
 
     # ---- dk/dv: grid (b, k-blocks, row-blocks); output blocks revisited across the
@@ -550,6 +552,9 @@ def _flash_rows_backward_impl(q, k, v, do, lse, delta, scale, block_q=None,
             pl.BlockSpec((1, block_k, d), lambda bb, jb, qb: (bb, jb, 0)),
         ],
         interpret=interpret,
+        # the row-block dim accumulates into revisited output blocks -> arbitrary
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
     )(q, do, lse_r, delta_r, k_p, v_p)
 
     dk = dk[:, :nk].astype(k.dtype)
