@@ -669,8 +669,8 @@ class CrossEmbedLayer(nn.Module):
         # 1024^2 the depth-to-space output layout slows downstream consumers
         # more than the conv saves end-to-end (6.85 vs 6.30 s/image SR tail);
         # at <=512^2 it is a clear net win (cascade 3.97 -> 4.38 img/s)
+        big = x.shape[1] * x.shape[2] > 512 * 512
         tiled = (self.stride == 1 and c <= 8 and max(kernel_sizes) % 2 == 1
-                 and x.shape[1] * x.shape[2] <= 512 * 512
 
                  and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
         if tiled:
@@ -707,7 +707,12 @@ class CrossEmbedLayer(nn.Module):
                 [y[..., ph * o: (ph + 1) * o] for ph in range(4)
                  for y, o in zip(ys, o_sz)], axis=-1)
             y = rearrange(y, 'b h w (p1 p2 o) -> b (h p1) (w p2) o', p1=2, p2=2)
-            return y + bias.astype(y.dtype)
+            y = y + bias.astype(y.dtype)
+            if big:
+                # at >512^2 the depth-to-space gather fused into consumers
+                # drops their read bandwidth; materialize once instead
+                y = jax.lax.optimization_barrier(y)
+            return y
 
         fmaps = []
         for i, (kernel, dim_scale) in enumerate(zip(kernel_sizes, dim_scales)):
