@@ -386,6 +386,7 @@ class ElucidatedImagen:
         return_pil_images=False,
         use_tqdm=True,
         noise_override=None,
+        offload_inactive_unets=False,
     ):
         """Full-cascade EDM sampling; reference elucidated_imagen.py:549-751.
 
@@ -465,6 +466,11 @@ class ElucidatedImagen:
 
             image_size = self.image_sizes[index]
             variables = params[index]
+            if offload_inactive_unets:
+                # just-in-time device copy of the active stage only (see
+                # Imagen.sample; reference one_unet_in_gpu analog)
+                from imagen_tpu.parallel.mesh import device_restore
+                variables = device_restore(variables)
             frame_dim = all_frame_dims[index] if self.is_video else None
             resize_kwargs = (
                 dict(target_frames=frame_dim) if self.is_video else {})
@@ -540,6 +546,8 @@ class ElucidatedImagen:
                 noise_override[index])
 
             outputs.append(img)
+            if offload_inactive_unets:
+                variables = None  # free the stage's device copy
 
             if exists(stop_at_unet_number) and stop_at_unet_number == unet_number:
                 break
@@ -572,8 +580,13 @@ class ElucidatedImagen:
     # --- training ------------------------------------------------------------------------
 
     def forward(self, params, images, key, *, unet_number=None, texts=None,
-                text_embeds=None, text_masks=None, cond_images=None, **kwargs):
-        """EDM training loss; reference elucidated_imagen.py:761-940."""
+                text_embeds=None, text_masks=None, cond_images=None,
+                sigmas=None, noise=None, **kwargs):
+        """EDM training loss; reference elucidated_imagen.py:761-940.
+
+        `sigmas`/`noise` override the log-normal sigma draw and the unit noise
+        (parity/repro harness hooks — the cross-framework tests feed identical
+        host-drawn values to this loss and the torch reference)."""
         assert not (self.num_unets > 1 and not exists(unet_number))
         unet_number = default(unet_number, 1)
         assert not exists(self.only_train_unet_number) or \
@@ -693,10 +706,12 @@ class ElucidatedImagen:
                 jax.random.normal(lrk, lowres_cond_img.shape, lowres_cond_img.dtype))
 
         # log-normal sigma draw + noising (alphas are 1 in EDM)
-        sigmas = self.noise_distribution(sk, hp.P_mean, hp.P_std, batch_size)
+        sigmas = default(sigmas, lambda: self.noise_distribution(
+            sk, hp.P_mean, hp.P_std, batch_size))
         padded_sigmas = right_pad_dims_to(images, sigmas)
 
-        noise = jax.random.normal(nk, images.shape, images.dtype)
+        noise = default(noise, lambda: jax.random.normal(
+            nk, images.shape, images.dtype))
         noised_images = images + padded_sigmas * noise
 
         unet_kwargs = dict(
@@ -715,11 +730,15 @@ class ElucidatedImagen:
 
         # self-conditioning coin flip (reference :911-921)
         if unet.self_cond:
+            # distinct keys per rng collection (see imagen.p_losses)
+            sc_drop_key, sc_dropout_key = jax.random.split(cdk2)
+
             def compute_self_cond(_):
                 pred_x0 = self.preconditioned_network_forward(
                     unet, variables, noised_images, sigmas,
                     deterministic=False,
-                    rngs={'cond_drop': cdk2, 'dropout': cdk2}, **unet_kwargs)
+                    rngs={'cond_drop': sc_drop_key, 'dropout': sc_dropout_key},
+                    **unet_kwargs)
                 return jax.lax.stop_gradient(pred_x0)
 
             flip = jax.random.bernoulli(sck)

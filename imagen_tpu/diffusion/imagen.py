@@ -404,12 +404,16 @@ class Imagen:
         The entire reference loop (imagen_pytorch.py:2168-2289) becomes one
         `lax.scan` over (t, t_next) with the RePaint resample inner `fori_loop`.
 
-        `has_noise_override`: the stage takes (init_noise, step_noises) and consumes
-        them instead of drawing from the PRNG — the cross-framework parity harness
-        feeds identical host-drawn noise to this sampler and the torch reference.
+        `has_noise_override`: the stage consumes host-fed noise instead of PRNG
+        draws — the cross-framework parity harness feeds identical host-drawn
+        noise to this sampler and the torch reference. Plain path:
+        (init_noise, step_noises[T]). Inpaint/RePaint path:
+        (init_noise, inpaint_noises[T,R], step_noises[T,R], renoise_noises[T,R])
+        — indexed [t, r] in the reference's draw order (q_sample inpaint noise,
+        then the ancestral step noise, then the q_sample_from_to renoise; the
+        renoise entry is unused on the last resample iteration / last timestep,
+        mirroring the reference skipping that draw, imagen_pytorch.py:2272-2279).
         """
-        assert not (has_noise_override and (has_inpainting or resample_times > 1)), \
-            'noise_override supports the plain ancestral path only'
         unet = self.unets[unet_index]
         noise_scheduler = self.noise_schedulers[unet_index]
         pred_objective = self.pred_objectives[unet_index]
@@ -428,8 +432,13 @@ class Imagen:
                 shape = (batch, shape_hw, shape_hw, self.channels)
 
             key, init_key = jax.random.split(key)
+            inpaint_noises = step_noises = renoise_noises = None
             if has_noise_override:
-                init_noise, step_noises = noise_override
+                if has_inpainting:
+                    (init_noise, inpaint_noises, step_noises,
+                     renoise_noises) = noise_override
+                else:
+                    init_noise, step_noises = noise_override
                 img = init_noise
             else:
                 img = jax.random.normal(init_key, shape)
@@ -458,11 +467,7 @@ class Imagen:
 
             def step(carry, ts):
                 img, x_start, key = carry
-                if has_noise_override:
-                    times, times_next, step_noise = ts
-                else:
-                    times, times_next = ts
-                    step_noise = None
+                times, times_next = ts['t'], ts['tn']
                 is_last_timestep = times_next == 0
 
                 def resample_body(i, inner):
@@ -471,13 +476,20 @@ class Imagen:
 
                     if has_inpainting:
                         key, nk = jax.random.split(key)
+                        inp_noise = (
+                            ts['inpaint_noise'][i] if has_noise_override
+                            else jax.random.normal(nk, inpaint_images.shape))
                         noised_inpaint, *_ = noise_scheduler.q_sample(
-                            inpaint_images, times,
-                            jax.random.normal(nk, inpaint_images.shape))
+                            inpaint_images, times, inp_noise)
                         img = jnp.where(inpaint_masks, noised_inpaint, img)
 
                     self_cond = x_start if unet.self_cond else None
 
+                    if has_noise_override:
+                        step_noise = (ts['step_noise'][i] if has_inpainting
+                                      else ts['step_noise'])
+                    else:
+                        step_noise = None
                     key, sk = jax.random.split(key)
                     img, x_start = self.p_sample(
                         unet, variables, img, times, key=sk, t_next=times_next,
@@ -488,9 +500,11 @@ class Imagen:
 
                     if has_inpainting and resample_times > 1:
                         key, rk = jax.random.split(key)
+                        ren_noise = (
+                            ts['renoise_noise'][i] if has_noise_override
+                            else jax.random.normal(rk, img.shape))
                         renoised = noise_scheduler.q_sample_from_to(
-                            img, times_next, times,
-                            jax.random.normal(rk, img.shape))
+                            img, times_next, times, ren_noise)
                         renoise_mask = right_pad_dims_to(
                             img, jnp.logical_not(is_last_timestep)) & jnp.logical_not(r_is_last)
                         img = jnp.where(renoise_mask, renoised, img)
@@ -507,8 +521,12 @@ class Imagen:
                 return (img, x_start, key), None
 
             x_start0 = jnp.zeros_like(img)
-            xs = ((t_arr, t_next_arr, step_noises) if has_noise_override
-                  else (t_arr, t_next_arr))
+            xs = {'t': t_arr, 'tn': t_next_arr}
+            if has_noise_override:
+                xs['step_noise'] = step_noises
+                if has_inpainting:
+                    xs['inpaint_noise'] = inpaint_noises
+                    xs['renoise_noise'] = renoise_noises
             (img, _, _), _ = jax.lax.scan(step, (img, x_start0, key), xs)
 
             img = jnp.clip(img, -1., 1.)
@@ -548,8 +566,18 @@ class Imagen:
         return_pil_images=False,
         use_tqdm=True,
         noise_override=None,
+        offload_inactive_unets=False,
     ):
         """Run the full cascade; reference imagen_pytorch.py:2294-2498.
+
+        `offload_inactive_unets=True` keeps only the ACTIVE stage's params on
+        device: each stage's variables are copied HBM-ward just-in-time and the
+        device copy is dropped when the stage finishes — the TPU analog of the
+        reference's GPU/CPU unet juggling (`one_unet_in_gpu`,
+        imagen_pytorch.py:2011-2028). For the memory saving to be real the
+        caller's `params` should live on host (e.g. straight from a checkpoint,
+        or parked with `parallel.mesh.host_offload`); device-resident inputs
+        are already where they need to be and are used as-is.
 
         `params` is the tuple of per-unet variables. The host loop only orchestrates
         stages; each stage is one compiled program. `use_tqdm` is accepted for API
@@ -635,6 +663,9 @@ class Imagen:
 
             image_size = self.image_sizes[index]
             variables = params[index]
+            if offload_inactive_unets:
+                from imagen_tpu.parallel.mesh import device_restore
+                variables = device_restore(variables)
             frame_dim = all_frame_dims[index] if self.is_video else None
             resize_kwargs = (
                 dict(target_frames=frame_dim) if self.is_video else {})
@@ -711,6 +742,10 @@ class Imagen:
                 noise_override[index])
 
             outputs.append(img)
+            if offload_inactive_unets:
+                # drop the stage's device copy; the runtime frees the HBM once
+                # the dispatched stage program completes
+                variables = None
 
             if exists(stop_at_unet_number) and stop_at_unet_number == unet_number:
                 break
@@ -806,10 +841,16 @@ class Imagen:
 
         # self-conditioning 50% of the time (reference :2581-2593)
         if unet.self_cond:
+            # distinct keys per rng collection: sharing one key across
+            # 'cond_drop' and 'dropout' silently correlates the two streams
+            # whenever dropout is enabled
+            sc_drop_key, sc_dropout_key = jax.random.split(cdk2)
+
             def compute_self_cond(_):
                 pred = unet.apply(
                     variables, x_noisy, noise_cond, deterministic=False,
-                    rngs={'cond_drop': cdk2, 'dropout': cdk2}, **unet_kwargs)
+                    rngs={'cond_drop': sc_drop_key, 'dropout': sc_dropout_key},
+                    **unet_kwargs)
                 x0 = (noise_scheduler.predict_start_from_noise(x_noisy, times, pred)
                       if pred_objective == 'noise' else pred)
                 return jax.lax.stop_gradient(x0)

@@ -48,6 +48,14 @@ def test_three_stage_cascade_sample_and_offload():
                         text_masks=masks, cond_scale=2.)
     assert out.shape == (2, 16, 16, 3)
 
+    # AUTOMATIC offload: host-parked params go straight into sample(); each
+    # stage is juggled on-device just-in-time (reference one_unet_in_gpu,
+    # imagen_pytorch.py:2011-2028) and the result is identical
+    out_auto = imagen.sample(parked, jax.random.PRNGKey(4), text_embeds=embeds,
+                             text_masks=masks, cond_scale=2.,
+                             offload_inactive_unets=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_auto))
+
 
 def test_null_unet_first_stage():
     """NullUnet placeholder lets the cascade skip stage 1 at training time
