@@ -49,8 +49,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Place a batch pytree with its leading axis sharded over 'data'.
+def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
+    """Place a batch pytree with `batch_axis` sharded over 'data'.
+
+    `batch_axis=1` is the gradient-accumulation layout: arrays are
+    (n_chunks, microbatch, ...) and the MICROBATCH axis must shard — sharding
+    axis 0 would split the sequential scan axis across devices.
 
     Single-process: plain `device_put` onto the sharding. Multi-process (each
     host loads its own slice of the global batch): assemble the global array
@@ -59,12 +63,13 @@ def shard_batch(mesh: Mesh, batch):
     (every host would claim its local rows are the whole batch). The reference
     delegates this split to Accelerate (trainer.py:467-477).
     """
-    sharding = batch_sharding(mesh)
     multiprocess = jax.process_count() > 1
 
     def place(x):
-        if not (hasattr(x, 'shape') and x.ndim > 0):
+        if not (hasattr(x, 'shape') and x.ndim > batch_axis):
             return x
+        spec = P(*([None] * batch_axis), 'data')
+        sharding = NamedSharding(mesh, spec)
         if multiprocess:
             return jax.make_array_from_process_local_data(
                 sharding, np.asarray(x))
@@ -73,10 +78,22 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(place, batch)
 
 
+def _place_one(x, sharding):
+    """device_put onto a sharding; multi-process meshes include non-addressable
+    devices, where the array must be assembled from the locally-addressable
+    shards instead (every process holds the full host value — valid for
+    replicated or host-identical data)."""
+    if jax.process_count() > 1:
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx])
+    return jax.device_put(x, sharding)
+
+
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params / optimizer state) across the mesh."""
     sharding = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(lambda x: _place_one(x, sharding), tree)
 
 
 def param_sharding_rules(mesh: Mesh, params, min_weight_size: int = 2 ** 16):
@@ -111,7 +128,7 @@ def shard_params(mesh: Mesh, params, min_weight_size: int = 2 ** 16):
     """Place params according to `param_sharding_rules`."""
     specs = param_sharding_rules(mesh, params, min_weight_size)
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, s), params, specs)
+        lambda x, s: _place_one(x, s), params, specs)
 
 
 def host_offload(tree):

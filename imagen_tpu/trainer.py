@@ -21,6 +21,7 @@ steps instead of Accelerate/DDP + GradScaler:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from functools import partial
 
 import jax
@@ -128,6 +129,13 @@ class ImagenTrainer:
         eps=1e-8,
         beta1=0.9,
         beta2=0.99,
+        optimizer='adam',               # 'adam' | 'adafactor', per-unet tuple ok.
+                                        # Adafactor factors the second moment into
+                                        # row/col statistics (~zero state HBM) — the
+                                        # Imagen paper's own choice for the base
+                                        # unet, and what lets the 1.6B-param
+                                        # BaseUnet64 train on a single 16 GB chip
+                                        # (Adam's full m+v would need 13 GB alone)
         max_grad_norm=None,
         group_wd_params=True,           # accepted for parity; optax adam has no wd here
         warmup_steps=None,
@@ -193,9 +201,11 @@ class ImagenTrainer:
             if k in EMAConfig.__dataclass_fields__})
 
         # per-unet optimizer hyperparams (reference :335-357)
-        lr, eps, warmup_steps, cosine_decay_max_steps = map(
+        lr, eps, warmup_steps, cosine_decay_max_steps, optimizer = map(
             partial(cast_tuple, length=self.num_unets),
-            (lr, eps, warmup_steps, cosine_decay_max_steps))
+            (lr, eps, warmup_steps, cosine_decay_max_steps, optimizer))
+        assert all(o in ('adam', 'adafactor') for o in optimizer), optimizer
+        self.optimizer_kinds = optimizer
         self.lrs = lr
         self.optim_eps = eps
         self.warmup_steps = warmup_steps
@@ -243,11 +253,16 @@ class ImagenTrainer:
         self.max_checkpoints_keep = max_checkpoints_keep
         self.can_checkpoint = jax.process_index() == 0
 
-        if exists(checkpoint_path) and self.can_checkpoint:
-            try:
-                self.fs.makedirs(checkpoint_path, exist_ok=True)
-            except Exception:
-                pass
+        if exists(checkpoint_path):
+            if self.can_checkpoint:
+                try:
+                    self.fs.makedirs(checkpoint_path, exist_ok=True)
+                except Exception:
+                    pass
+            # EVERY process restores (the reference torch.loads on every rank;
+            # multi-host runs need checkpoint_path on a shared filesystem) —
+            # restoring only on process 0 would diverge params AND desync the
+            # collective gathers inside load()
             self.load_from_checkpoint_folder()
 
         self.only_train_unet_number = only_train_unet_number
@@ -327,9 +342,20 @@ class ImagenTrainer:
         txs = []
         if exists(self.max_grad_norm):
             txs.append(optax.clip_by_global_norm(self.max_grad_norm))
-        txs.append(optax.adam(
-            learning_rate=self._lr_schedule(index),
-            b1=self.beta1, b2=self.beta2, eps=self.optim_eps[index]))
+        if self.optimizer_kinds[index] == 'adafactor':
+            # factored second moment; first moment (if beta1 is not None)
+            # carried in bf16: state HBM is ≤ half a param copy instead of
+            # Adam's two full fp32 copies. beta1=None gives the classic
+            # zero-momentum Adafactor (T5 / Imagen-paper configuration).
+            txs.append(optax.adafactor(
+                learning_rate=self._lr_schedule(index),
+                decay_rate=self.beta2, momentum=self.beta1,
+                dtype_momentum=jnp.bfloat16,
+                min_dim_size_to_factor=128))
+        else:
+            txs.append(optax.adam(
+                learning_rate=self._lr_schedule(index),
+                b1=self.beta1, b2=self.beta2, eps=self.optim_eps[index]))
         return optax.chain(*txs)
 
     def get_lr(self, unet_number):
@@ -338,6 +364,18 @@ class ImagenTrainer:
         return float(self._lr_schedule(index)(int(self.steps[index])))
 
     # --- state management ----------------------------------------------------------------
+
+    def _place_params(self, tree):
+        """Place a (restored / freshly-built) param-like pytree where training
+        expects it: on the mesh (replicated, or model-sharded when the mesh has
+        a model axis) or on the default device."""
+        if not exists(self.mesh):
+            return jax.tree_util.tree_map(jnp.asarray, tree)
+        if self.mesh.shape.get('model', 1) > 1:
+            # tensor-parallel placement (Megatron-style column sharding)
+            from imagen_tpu.parallel.mesh import shard_params
+            return shard_params(self.mesh, tree)
+        return replicate(self.mesh, tree)
 
     def _ensure_state(self, index):
         if exists(self.params[index]):
@@ -348,18 +386,10 @@ class ImagenTrainer:
         ema = to_host(variables) if self.use_ema else None
         ema = jax.tree_util.tree_map(jnp.asarray, ema) if exists(ema) else None
         if exists(self.mesh):
-            if self.mesh.shape.get('model', 1) > 1:
-                # tensor-parallel placement (Megatron-style column sharding)
-                from imagen_tpu.parallel.mesh import shard_params
-                variables = shard_params(self.mesh, variables)
-                opt_state = shard_params(self.mesh, opt_state)
-                if exists(ema):
-                    ema = shard_params(self.mesh, ema)
-            else:
-                variables = replicate(self.mesh, variables)
-                opt_state = replicate(self.mesh, opt_state)
-                if exists(ema):
-                    ema = replicate(self.mesh, ema)
+            variables = self._place_params(variables)
+            opt_state = self._place_params(opt_state)
+            if exists(ema):
+                ema = self._place_params(ema)
         self.params[index] = variables
         self.opt_states[index] = opt_state
         self.ema_params[index] = ema
@@ -535,9 +565,22 @@ class ImagenTrainer:
         batch = {k: jnp.asarray(v) for k, v in batch.items() if exists(v)}
         batch, n_chunks = split_batch_for_accum(batch, max_batch_size)
         if exists(self.mesh):
-            b = jax.tree_util.tree_leaves(batch)[0].shape[0]
-            if b % self.mesh.shape['data'] == 0:
-                batch = shard_batch(self.mesh, batch)
+            # accumulation layout is (n_chunks, microbatch, ...): axis 0 is the
+            # sequential scan axis — the MICROBATCH axis is the one that shards
+            # over 'data' (axis 1 when n_chunks > 1, axis 0 otherwise)
+            batch_axis = 0 if n_chunks == 1 else 1
+            data = self.mesh.shape['data']
+            mb = jax.tree_util.tree_leaves(batch)[0].shape[batch_axis]
+            if mb % data == 0:
+                batch = shard_batch(self.mesh, batch, batch_axis=batch_axis)
+            else:
+                # never silently fall back to single-device placement: a
+                # replicated batch still lets GSPMD run (redundantly) on the
+                # mesh without OOMing device 0
+                self.print(
+                    f'batch axis {mb} not divisible by data-parallel size '
+                    f'{data}; replicating the batch across the mesh')
+                batch = replicate(self.mesh, batch)
         return batch, n_chunks
 
     def _grads_for_batch(self, index, batch, max_batch_size):
@@ -580,6 +623,8 @@ class ImagenTrainer:
             batch, unet_number=unet_number, max_batch_size=max_batch_size, **kwargs)
 
     def step_with_batch(self, batch, *, unet_number=None, max_batch_size=None, **extra):
+        assert not getattr(self, '_ema_swapped', False), \
+            'cannot take train steps inside use_ema_unets() (it would step the EMA copies)'
         unet_number = self.validate_unet_number(unet_number)
         assert not exists(self.only_train_unet_number) or \
             self.only_train_unet_number == unet_number, \
@@ -690,6 +735,8 @@ class ImagenTrainer:
     def update(self, unet_number=None):
         """Apply pending gradients (mean over every sample seen by the forward()
         calls since the last update); reference trainer.py:902-945."""
+        assert not getattr(self, '_ema_swapped', False), \
+            'cannot take train steps inside use_ema_unets()'
         unet_number = self.validate_unet_number(unet_number)
         index = unet_number - 1
         assert exists(self._pending_grads) and self._pending_grads[0] == index, \
@@ -722,6 +769,36 @@ class ImagenTrainer:
                 params.append(self.params[i])
         return tuple(params)
 
+    @contextmanager
+    def use_ema_unets(self):
+        """Swap EMA params in as the trainer's online params for the duration of
+        the `with` block, so arbitrary user code (custom eval loops, direct
+        `trainer.params` access, `valid_step`) runs against EMA weights.
+
+        Functional analog of the reference's context manager that swaps EMA
+        unets into `imagen.unets` (trainer.py:846-869): params live outside the
+        modules here, so the swap is on the param lists. Yields the EMA params
+        tuple. Online params are restored on exit; training inside the block is
+        blocked (it would step the EMA copies)."""
+        if not self.use_ema:
+            self.print('trainer not using ema, returning online params')
+            for i in range(self.num_unets):
+                self._ensure_state(i)
+            yield tuple(self.params)
+            return
+
+        for i in range(self.num_unets):
+            self._ensure_state(i)
+        originals = list(self.params)
+        self.params = [default(e, p)
+                       for e, p in zip(self.ema_params, originals)]
+        self._ema_swapped = True
+        try:
+            yield tuple(self.params)
+        finally:
+            self._ema_swapped = False
+            self.params = originals
+
     def sample(self, *args, max_batch_size=None, **kwargs):
         """Sample through the cascade with EMA params (reference trainer.py:947-961).
 
@@ -734,21 +811,33 @@ class ImagenTrainer:
         self.rng, key = jax.random.split(self.rng)
         key = kwargs.pop('key', key)
 
-        text_embeds = kwargs.get('text_embeds')
-        if (exists(max_batch_size) and exists(text_embeds)
-                and text_embeds.shape[0] > max_batch_size
-                and not kwargs.get('return_pil_images', False)):
+        # any batched kwarg triggers chunking (the reference's
+        # imagen_sample_in_chunks splits every tensor/list kwarg and merges
+        # PIL-list outputs too, trainer.py:188-206)
+        _BATCHED = ('text_embeds', 'text_masks', 'cond_images',
+                    'inpaint_images', 'inpaint_videos', 'inpaint_masks',
+                    'init_images', 'start_image_or_video',
+                    'cond_video_frames', 'post_cond_video_frames', 'texts')
+        batched = {k: kwargs[k] for k in _BATCHED
+                   if exists(kwargs.get(k)) and hasattr(kwargs[k], '__len__')}
+        b = max((len(v) for v in batched.values()), default=0)
+        if exists(max_batch_size) and b > max_batch_size:
             outs = []
-            b = text_embeds.shape[0]
-            chunk_keys = jax.random.split(key, (b + max_batch_size - 1) // max_batch_size)
+            chunk_keys = jax.random.split(
+                key, (b + max_batch_size - 1) // max_batch_size)
             for ci, start in enumerate(range(0, b, max_batch_size)):
                 chunk_kwargs = dict(kwargs)
-                for k in ('text_embeds', 'text_masks', 'cond_images',
-                          'inpaint_images', 'inpaint_masks'):
-                    if exists(chunk_kwargs.get(k)):
-                        chunk_kwargs[k] = chunk_kwargs[k][start:start + max_batch_size]
+                for k in batched:
+                    chunk_kwargs[k] = kwargs[k][start:start + max_batch_size]
                 outs.append(self.imagen.sample(
                     params, chunk_keys[ci], *args, **chunk_kwargs))
+            pil = kwargs.get('return_pil_images', False)
+            if kwargs.get('return_all_unet_outputs', False):
+                return [([im for chunk in stage for im in chunk] if pil
+                         else jnp.concatenate(stage, axis=0))
+                        for stage in zip(*outs)]
+            if pil:
+                return [im for out in outs for im in out]
             return jnp.concatenate(outs, axis=0)
 
         return self.imagen.sample(params, key, *args, **kwargs)
@@ -778,12 +867,19 @@ class ImagenTrainer:
         """Save the trainer bundle. `async_save=True` gathers state to host
         synchronously (cheap) and performs serialization + IO on a background
         thread so the train loop is not blocked (the reference blocks on
-        torch.save, trainer.py:739)."""
+        torch.save, trainer.py:739).
+
+        Collective-safe multi-process semantics (the reference brackets save
+        with `accelerator.wait_for_everyone`, trainer.py:656,684): EVERY
+        process builds the bundle — `to_host` on non-fully-addressable arrays
+        is a collective gather (process_allgather), so an early return on
+        non-zero processes would deadlock process 0 at the collective. Only
+        process 0 touches the filesystem."""
+        bundle = {**self.state_bundle(without_optim_and_sched), **kwargs}
         if not self.can_checkpoint:
             return
         fs = self.fs
         assert not (fs.exists(str(path)) and not overwrite)
-        bundle = {**self.state_bundle(without_optim_and_sched), **kwargs}
         if 'imagen_params' in bundle:
             self.print(f'this checkpoint is commandable from the CLI - '
                        f'"imagen --model {str(path)} \"<prompt>\""')
@@ -836,7 +932,7 @@ class ImagenTrainer:
                     restored = restore_parts(target, src)
             else:
                 restored = restore_parts(target, src)
-            self.params[i] = jax.tree_util.tree_map(jnp.asarray, restored)
+            self.params[i] = self._place_params(restored)
 
         if only_model:
             return loaded
@@ -850,8 +946,7 @@ class ImagenTrainer:
                 try:
                     target = to_host(self.opt_states[i])
                     restored = _from_state_dict(target, loaded[key])
-                    self.opt_states[i] = jax.tree_util.tree_map(
-                        jnp.asarray, restored)
+                    self.opt_states[i] = self._place_params(restored)
                 except Exception:
                     self.print('could not load optimizer state; resuming with a '
                                'fresh optimizer')
@@ -862,12 +957,11 @@ class ImagenTrainer:
                 target = to_host(self.ema_params[i])
                 try:
                     restored = _from_state_dict(target, ema_list[i])
-                    self.ema_params[i] = jax.tree_util.tree_map(
-                        jnp.asarray, restored)
+                    self.ema_params[i] = self._place_params(restored)
                 except Exception:
                     self.print('Failed loading ema. Trying partial load')
-                    self.ema_params[i] = jax.tree_util.tree_map(
-                        jnp.asarray, restore_parts(target, ema_list[i]))
+                    self.ema_params[i] = self._place_params(
+                        restore_parts(target, ema_list[i]))
 
         self.print(f'checkpoint loaded from {path}')
         return loaded
@@ -894,14 +988,14 @@ class ImagenTrainer:
         self.load(sorted_checkpoints[0])
 
     def save_to_checkpoint_folder(self):
-        if not self.can_checkpoint:
-            return
+        # every process enters save() — the state gather inside is collective
+        # (see save's docstring); writing and rotation stay process-0-only
         total_steps = int(self.steps.sum())
         filepath = os.path.join(
             str(self.checkpoint_path), f'checkpoint.{total_steps}.ckpt')
         self.save(filepath)
 
-        if self.max_checkpoints_keep <= 0:
+        if not self.can_checkpoint or self.max_checkpoints_keep <= 0:
             return
         for checkpoint in self.all_checkpoints_sorted[self.max_checkpoints_keep:]:
             self.fs.rm(checkpoint)

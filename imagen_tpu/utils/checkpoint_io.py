@@ -34,6 +34,11 @@ def to_host(tree):
         if isinstance(x, (str, bytes, bool, int, float)) or x is None:
             return x
         if multiprocess and isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if x.is_fully_replicated:
+                # every process already holds the full value (params / opt
+                # state replicated over a multi-host mesh) — a plain copy;
+                # process_allgather would tile duplicate rows here
+                return np.asarray(x)
             from jax.experimental import multihost_utils
             return np.asarray(multihost_utils.process_allgather(
                 x, tiled=True))

@@ -162,3 +162,93 @@ def test_trainer_valid_step_chunked():
     trainer.train_step(unet_number=1)
     vloss = trainer.valid_step(unet_number=1, max_batch_size=4)
     assert np.isfinite(vloss)
+
+
+def test_use_ema_unets_context_manager():
+    """reference trainer.py:846-869: inside the context, the trainer's online
+    params ARE the EMA params (so arbitrary user eval code sees EMA weights);
+    on exit the online params are restored untouched."""
+    trainer = ImagenTrainer(imagen=tiny_imagen(), ema_update_after_step=0,
+                            ema_update_every=1)
+    trainer.add_train_dataset(MockDataset(), batch_size=8)
+    for _ in range(2):
+        trainer.train_step(unet_number=1)
+
+    online_before = jax.tree_util.tree_map(np.asarray, trainer.params[0])
+    ema = jax.tree_util.tree_map(np.asarray, trainer.ema_params[0])
+
+    with trainer.use_ema_unets() as ema_params:
+        inside = jax.tree_util.tree_leaves(trainer.params[0])
+        for x, y in zip(inside, jax.tree_util.tree_leaves(ema)):
+            np.testing.assert_array_equal(np.asarray(x), y)
+        assert ema_params[0] is trainer.params[0]
+
+    for x, y in zip(jax.tree_util.tree_leaves(trainer.params[0]),
+                    jax.tree_util.tree_leaves(online_before)):
+        np.testing.assert_array_equal(np.asarray(x), y)
+
+    # training inside the block is blocked (it would step the EMA copies)
+    import pytest
+    with trainer.use_ema_unets():
+        with pytest.raises(AssertionError):
+            trainer.train_step(unet_number=1)
+
+    # no-EMA trainer: yields online params, no swap
+    t2 = ImagenTrainer(imagen=tiny_imagen(), use_ema=False, verbose=False)
+    with t2.use_ema_unets() as params:
+        assert params[0] is t2.params[0]
+
+
+def test_trainer_sample_chunks_pil_and_all_outputs():
+    """max_batch_size chunking merges PIL-list outputs and per-stage outputs
+    (reference imagen_sample_in_chunks, trainer.py:188-206)."""
+    trainer = ImagenTrainer(imagen=tiny_imagen(), use_ema=False, verbose=False)
+    embeds = jnp.zeros((5, 6, 16))
+
+    pil = trainer.sample(text_embeds=embeds, max_batch_size=2,
+                         return_pil_images=True, use_tqdm=False)
+    assert isinstance(pil, list) and len(pil) == 5
+    from PIL import Image
+    assert all(isinstance(im, Image.Image) for im in pil)
+
+    outs = trainer.sample(text_embeds=embeds, max_batch_size=2,
+                          return_all_unet_outputs=True, use_tqdm=False)
+    assert isinstance(outs, list) and len(outs) == 1
+    assert outs[0].shape == (5, 16, 16, 3)
+
+    arr = trainer.sample(text_embeds=embeds, max_batch_size=2, use_tqdm=False)
+    assert arr.shape == (5, 16, 16, 3)
+
+
+def test_adafactor_optimizer():
+    """optimizer='adafactor' (the Imagen paper's base-unet optimizer): factored
+    second moment means the optimizer state stores NO full-size fp32 m/v copies
+    of the big kernels, and training still converges."""
+    trainer = ImagenTrainer(imagen=tiny_imagen(), optimizer='adafactor',
+                            beta1=None, use_ema=False, verbose=False)
+    trainer.add_train_dataset(MockDataset(), batch_size=8)
+    trainer.train_step(unet_number=1)
+    before = jax.tree_util.tree_map(np.asarray, trainer.params[0])
+    losses = [float(trainer.train_step(unet_number=1)) for _ in range(2)]
+    assert np.isfinite(losses).all()
+    changed = any(
+        not np.array_equal(np.asarray(a), b)
+        for a, b in zip(jax.tree_util.tree_leaves(trainer.params[0]),
+                        jax.tree_util.tree_leaves(before)))
+    assert changed, 'adafactor update did not move the params'
+
+    # state-size check: zero-momentum adafactor carries no first moment, so its
+    # state is well under adam's two full copies even at tiny dims (the factored
+    # second moment only kicks in for dims >= 128 — the real models' kernels)
+    def opt_size(t):
+        t._ensure_state(0)
+        return sum(x.size for x in jax.tree_util.tree_leaves(t.opt_states[0])
+                   if hasattr(x, 'size'))
+
+    adam = ImagenTrainer(imagen=tiny_imagen(), use_ema=False, verbose=False)
+    assert opt_size(trainer) < 0.75 * opt_size(adam)
+
+    # per-unet mixing: adafactor for the base, adam for the SR stage
+    t2 = ImagenTrainer(imagen=tiny_imagen(), optimizer=('adafactor',),
+                       use_ema=False, verbose=False)
+    assert t2.optimizer_kinds == ('adafactor',)

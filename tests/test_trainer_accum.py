@@ -148,3 +148,42 @@ def test_ragged_valid_step_weighted():
     trainer.add_train_dataset(DS(), batch_size=6)
     loss = trainer.valid_step(max_batch_size=4)
     assert np.isfinite(loss)
+
+
+def test_mesh_grad_accum_shards_microbatch_axis():
+    """mesh + max_batch_size: the accumulation reshape puts chunks on axis 0 and
+    the microbatch on axis 1 — axis 1 must shard over 'data' (sharding the scan
+    axis would split sequential chunks across devices), and the sharded-accum
+    loss must equal the unsharded-accum loss."""
+    from imagen_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()  # 8 virtual devices on 'data'
+    t_mesh = tiny_trainer(mesh=mesh, seed=7)
+    t_single = tiny_trainer(seed=7)
+
+    batch = make_batch(16, seed=5)
+    b_prepped, n_chunks = t_mesh._prep_batch(dict(batch), 8)
+    assert n_chunks == 2
+    imgs = b_prepped['images']
+    assert imgs.shape == (2, 8, 16, 16, 3)
+    # microbatch axis (1) sharded over 'data'; chunk axis (0) NOT sharded
+    spec = imgs.sharding.spec
+    assert tuple(spec)[:2] == (None, 'data'), spec
+
+    loss_mesh = t_mesh.step_with_batch(dict(batch), max_batch_size=8)
+    loss_single = t_single.step_with_batch(dict(batch), max_batch_size=8)
+    np.testing.assert_allclose(loss_mesh, loss_single, rtol=1e-5, atol=1e-6)
+
+
+def test_mesh_nondivisible_batch_replicates():
+    """A batch not divisible by the data axis must not silently stay on one
+    device — it replicates across the mesh and still trains."""
+    from imagen_tpu.parallel.mesh import create_mesh
+
+    trainer = tiny_trainer(mesh=create_mesh())
+    batch = make_batch(6, seed=6)  # 6 % 8 != 0
+    prepped, n_chunks = trainer._prep_batch(dict(batch), None)
+    assert n_chunks == 1
+    assert len(prepped['images'].sharding.device_set) == 8
+    loss = trainer.step_with_batch(dict(batch))
+    assert np.isfinite(loss)
