@@ -63,7 +63,8 @@ class Unet3D(nn.Module):
     text_embed_dim: Optional[int] = DEFAULT_TEXT_EMBED_DIM
     num_resnet_blocks: IntTuple = 1
     cond_dim: Optional[int] = None
-    num_image_tokens: int = 4
+    num_image_tokens: int = 4   # kwarg-parity only: dead in the reference too
+                                # (imagen_video.py:1233 declares, never reads it)
     num_time_tokens: int = 2
     learned_sinu_pos_emb_dim: int = 16
     out_dim: Optional[int] = None
@@ -199,6 +200,10 @@ class Unet3D(nn.Module):
         in_out = list(zip(dims[:-1], dims[1:]))
 
         attn_kwargs = dict(heads=self.attn_heads, dim_head=self.attn_dim_head)
+        # time_rel_pos_bias_depth threads into the temporal attention's
+        # DynamicPositionBias MLP depth (reference imagen_video.py:1256,1416)
+        temporal_attn_kwargs = dict(
+            rel_pos_bias_mlp_depth=self.time_rel_pos_bias_depth, **attn_kwargs)
         skip_connect_scale = 1. if not self.scale_skip_connection else 2 ** -0.5
 
         # --- input concatenation ---------------------------------------------------------
@@ -276,7 +281,7 @@ class Unet3D(nn.Module):
             x = TemporalPeg(causal=self.time_causal_attn, dtype=dtype,
                             name='init_temporal_peg')(x)
             x = TemporalAttention(causal=self.time_causal_attn, dtype=dtype,
-                                  name='init_temporal_attn', **attn_kwargs)(x)
+                                  name='init_temporal_attn', **temporal_attn_kwargs)(x)
 
         init_conv_residual = x if self.init_conv_to_final_conv_residual else None
 
@@ -458,7 +463,7 @@ class Unet3D(nn.Module):
                                 name=f'down_{ind}_temporal_peg')(x)
                 x = TemporalAttention(causal=self.time_causal_attn, dtype=dtype,
                                       name=f'down_{ind}_temporal_attn',
-                                      **attn_kwargs)(x)
+                                      **temporal_attn_kwargs)(x)
 
             hiddens.append(x)
 
@@ -500,7 +505,7 @@ class Unet3D(nn.Module):
             x = TemporalPeg(causal=self.time_causal_attn, dtype=dtype,
                             name='mid_temporal_peg')(x)
             x = TemporalAttention(causal=self.time_causal_attn, dtype=dtype,
-                                  name='mid_temporal_attn', **attn_kwargs)(x)
+                                  name='mid_temporal_attn', **temporal_attn_kwargs)(x)
 
         x = ResnetBlockVideoK(
             dim_out=mid_dim, cond_dim=cond_dim, time_cond_dim=time_cond_dim,
@@ -561,7 +566,7 @@ class Unet3D(nn.Module):
                                 name=f'up_{ind}_temporal_peg')(x)
                 x = TemporalAttention(causal=self.time_causal_attn, dtype=dtype,
                                       name=f'up_{ind}_temporal_attn',
-                                      **attn_kwargs)(x)
+                                      **temporal_attn_kwargs)(x)
 
             up_hiddens.append(x)
 

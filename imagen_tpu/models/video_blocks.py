@@ -348,6 +348,7 @@ class TemporalAttention(nn.Module):
     dim_head: int = 64
     heads: int = 8
     causal: bool = True
+    rel_pos_bias_mlp_depth: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -356,8 +357,9 @@ class TemporalAttention(nn.Module):
         xt = rearrange(x, 'b f h w c -> (b h w) f c')
         out = VideoAttention(
             dim_head=self.dim_head, heads=self.heads, causal=self.causal,
-            init_zero=True, rel_pos_bias=True, dtype=self.dtype,
-            name='attn')(xt) + xt
+            init_zero=True, rel_pos_bias=True,
+            rel_pos_bias_mlp_depth=self.rel_pos_bias_mlp_depth,
+            dtype=self.dtype, name='attn')(xt) + xt
         return rearrange(out, '(b h w) f c -> b f h w c', h=h, w=w)
 
 

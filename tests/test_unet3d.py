@@ -182,3 +182,24 @@ def test_video_resize_helpers():
     assert out.shape == (2, 2, 8, 8, 3)
     out = vb.scale_video_time(v, 2)
     assert out.shape == (2, 2, 8, 8, 3)
+
+
+def test_time_rel_pos_bias_depth_threads_through():
+    """A non-default time_rel_pos_bias_depth must change the temporal attention's
+    DynamicPositionBias MLP param tree (reference imagen_video.py:1256)."""
+    x, time, text, mask = make_inputs()
+
+    def param_names(depth):
+        unet = Unet3D(**TINY, time_rel_pos_bias_depth=depth)
+        variables = jax.eval_shape(
+            lambda: unet.init({'params': KEY}, x, time,
+                              text_embeds=text, text_mask=mask))
+        flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+        return {jax.tree_util.keystr(p) for p, _ in flat
+                if 'dyn_pos_bias' in jax.tree_util.keystr(p)}
+
+    names_d2 = param_names(2)
+    names_d4 = param_names(4)
+    assert names_d4 > names_d2  # deeper MLP adds layers
+    assert any('mlp_2' in n for n in names_d4)
+    assert not any('mlp_2' in n for n in names_d2)
