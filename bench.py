@@ -3,18 +3,27 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 BENCH_MODE selects the config (BASELINE.md):
-  base64 (default) — DDPM sampler steps/sec, base Unet dim=128 @64x64, batch 8,
-                     CFG 3 (one doubled-batch forward), 64-step compiled scan;
-                     also prints MFU from XLA cost-analysis FLOPs
-  cascade          — 64->256 two-stage images/sec/chip
-  sr1024           — 256->1024 SR tail (NullUnet stage skipped)
+  base64_paper (default) — the TRUE paper-preset BaseUnet64 (dim 512, reference
+                     imagen_pytorch.py:1743-1755) @64x64: DDPM sampler
+                     steps/sec, batch 8, CFG 3 (one doubled-batch forward),
+                     64-step compiled scan, MFU from XLA cost-analysis FLOPs
+  base64           — the round-1/2 scaled flagship (dim 128) for continuity
+  cascade_paper    — BaseUnet64 + SRUnet256 64->256 at true preset dims
+  cascade          — scaled 64->256 two-stage images/sec/chip
+  sr1024_paper     — SRUnet1024 256->1024 tail at true preset dims
+  sr1024           — scaled 256->1024 SR tail (NullUnet stage skipped)
   edm              — ElucidatedImagen (churn + Heun) 64->256
   video            — Unet3D 16-frame 64px clips/sec
+  train_paper      — fused trainer step on BaseUnet64 (+ training MFU)
   train            — fused ImagenTrainer step samples/sec (+ training MFU)
 
 The reference publishes no numbers (BASELINE.md: "published: {}"), so
-vs_baseline is the ratio against OUR round-1 recorded numbers (BENCH_r01.json)
-— >1.0 means faster than round 1. Modes first measured in round 2 report 1.0.
+vs_baseline is the ratio against OUR prior-round recorded numbers — >1.0 means
+faster than before. For the *_paper modes (first measured in round 3) the raw
+throughput is not comparable to the scaled models, so vs_baseline is the
+FLOPs-normalized ratio: measured MFU / the same path's round-2 MFU (sampler
+0.5433, train 0.387) — >1.0 means the paper-scale model extracts MORE of the
+chip than round 2's scaled model did. Modes with no prior MFU report 1.0.
 """
 import json
 import os
@@ -25,28 +34,57 @@ import jax.numpy as jnp
 
 TIMESTEPS = int(os.environ.get('BENCH_TIMESTEPS', 64))
 COND_SCALE = float(os.environ.get('BENCH_COND_SCALE', 3.0))
-# 'base64' | 'cascade' | 'sr1024' | 'edm' | 'video' | 'train'
-MODE = os.environ.get('BENCH_MODE', 'base64')
-_DEFAULT_BATCH = {'base64': 8, 'cascade': 4, 'edm': 4, 'sr1024': 1, 'video': 1,
-                  'train': 32}
+MODE = os.environ.get('BENCH_MODE', 'base64_paper')
+_DEFAULT_BATCH = {'base64': 8, 'base64_paper': 8, 'cascade': 4,
+                  'cascade_paper': 4, 'edm': 4, 'sr1024': 1, 'sr1024_paper': 1,
+                  'video': 1, 'train': 32, 'train_paper': 8}
 BATCH = int(os.environ.get('BENCH_BATCH', 0)) or _DEFAULT_BATCH.get(MODE, 8)
 VIDEO_FRAMES = int(os.environ.get('BENCH_VIDEO_FRAMES', 16))
 
-# round-1 measured values on this hardware (BENCH_r01.json / BENCH.md) — the
-# regression gate for vs_baseline; keyed by mode, all higher-is-better
-ROUND1 = {
-    'base64': 91.2625,     # ddpm_sampler_steps_per_sec @ batch 8, 64 steps, CFG 3
-    'cascade': 3.21,       # 64->256 images/sec/chip @ batch 4, 64+32 steps, CFG 3
-    'sr1024': 1 / 7.21,    # 256->1024 SR tail images/sec @ batch 1, 32 steps, CFG 3
-    'edm': 1.50,           # EDM 64->256 images/sec/chip @ batch 4, 64+32 steps, CFG 3
-    'video': 1 / 1.38,     # 16-frame 64px clips/sec @ batch 1, 32 steps, CFG 3
-    'train': None,         # first measured in round 2 (train_steps_per_sec)
+# prior-round measured values on this hardware (BENCH.md) — the regression gate
+# for vs_baseline; keyed by mode, all higher-is-better. None = first
+# measurement (vs_baseline 1.0, or MFU-normalized for *_paper; see docstring).
+ROUND_BASE = {
+    'base64': 122.1967,    # r02 ddpm_sampler_steps_per_sec @ batch 8, 64 steps
+    'cascade': 4.38,       # r02 64->256 images/sec/chip @ batch 4, 64+32 steps
+    'sr1024': 1 / 6.30,    # r02 256->1024 SR tail images/sec @ batch 1, 32 steps
+    'edm': 2.13,           # r02 EDM 64->256 images/sec/chip @ batch 4
+    'video': 1 / 1.075,    # r02 16-frame 64px clips/sec @ batch 1, 32 steps
+    'train': 14.5,         # r02 train_steps_per_sec @ batch 32 (464 samples/s)
+    'base64_paper': None, 'cascade_paper': None, 'sr1024_paper': None,
+    'train_paper': None,
 }
+# round-2 MFU of the matching scaled path: the FLOPs-normalized baseline for
+# the *_paper modes (see docstring)
+R02_MFU = {'base64_paper': 0.5433, 'train_paper': 0.387}
 
 
 def build_imagen():
     from imagen_tpu.diffusion.imagen import Imagen
-    from imagen_tpu.models.unet2d import Unet
+    from imagen_tpu.models.unet2d import (
+        BaseUnet64, SRUnet256, SRUnet1024, Unet)
+
+    common = dict(text_embed_dim=768, max_text_len=256, dtype=jnp.bfloat16)
+
+    if MODE.endswith('_paper'):
+        # TRUE paper presets (reference imagen_pytorch.py:1743-1783)
+        base = BaseUnet64(**common, remat=(MODE == 'train_paper'))
+        if MODE in ('base64_paper', 'train_paper'):
+            return Imagen(
+                unets=(base,), image_sizes=(64,), text_embed_dim=768,
+                timesteps=TIMESTEPS, cond_drop_prob=0.1)
+        if MODE == 'cascade_paper':
+            return Imagen(
+                unets=(base, SRUnet256(**common)), image_sizes=(64, 256),
+                text_embed_dim=768, timesteps=(TIMESTEPS, TIMESTEPS // 2),
+                cond_drop_prob=0.1)
+        if MODE == 'sr1024_paper':
+            from imagen_tpu.models.unet2d import NullUnet
+            return Imagen(
+                unets=(NullUnet(), SRUnet1024(**common)),
+                image_sizes=(256, 1024), text_embed_dim=768,
+                timesteps=(TIMESTEPS, TIMESTEPS // 2), cond_drop_prob=0.1)
+        raise ValueError(f'unknown BENCH_MODE {MODE!r}')
 
     base = Unet(
         dim=128,
@@ -149,40 +187,100 @@ def _flops_per_step(imagen, params):
 
 _METRIC = {
     'base64': ('ddpm_sampler_steps_per_sec', 'steps/sec'),
+    'base64_paper': ('ddpm_base64_paper_sampler_steps_per_sec', 'steps/sec'),
     'cascade': ('cascade_64_256_images_per_sec_per_chip', 'images/sec/chip'),
+    'cascade_paper': ('cascade_paper_64_256_images_per_sec_per_chip',
+                      'images/sec/chip'),
     'sr1024': ('sr_256_1024_images_per_sec_per_chip', 'images/sec/chip'),
+    'sr1024_paper': ('sr1024_paper_256_1024_images_per_sec_per_chip',
+                     'images/sec/chip'),
     'edm': ('edm_cascade_64_256_images_per_sec_per_chip', 'images/sec/chip'),
     'video': ('video_16f_64px_clips_per_sec_per_chip', 'clips/sec/chip'),
 }
 
 _TOTAL_STEPS = {
     'base64': lambda: TIMESTEPS,
+    'base64_paper': lambda: TIMESTEPS,
     'cascade': lambda: TIMESTEPS + TIMESTEPS // 2,
+    'cascade_paper': lambda: TIMESTEPS + TIMESTEPS // 2,
     'edm': lambda: TIMESTEPS + TIMESTEPS // 2,
     'sr1024': lambda: TIMESTEPS // 2,   # NullUnet stage is skipped
+    'sr1024_paper': lambda: TIMESTEPS // 2,
     'video': lambda: TIMESTEPS // 2,
 }
 
+_MODEL_DESC = {
+    'base64_paper': 'BaseUnet64 (dim 512, paper preset)',
+    'cascade_paper': 'BaseUnet64 + SRUnet256 (paper presets)',
+    'sr1024_paper': 'SRUnet1024 (paper preset)',
+    'train_paper': 'BaseUnet64 (dim 512, paper preset)',
+}
+
+
+def _train_step_flops(trainer_kwargs, batch):
+    """XLA cost-analysis FLOPs of one fused train step, from an ABSTRACT
+    lowering (ShapeDtypeStruct args — nothing is allocated on device, so this
+    is safe to run before/alongside the real paper-scale state). Built WITHOUT
+    remat so recompute FLOPs never inflate the MFU numerator."""
+    from imagen_tpu.trainer import ImagenTrainer
+
+    os.environ['IMAGEN_TPU_DISABLE_PALLAS'] = '1'
+    try:
+        tr = ImagenTrainer(imagen=build_imagen(), verbose=False,
+                           **trainer_kwargs)
+        variables = jax.eval_shape(
+            lambda: tr.imagen.init_unet_params(1, jax.random.PRNGKey(0)))
+        opt_state = jax.eval_shape(tr._optimizers[0].init, variables)
+        ema = variables if tr.use_ema else None
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            (variables, opt_state, ema,
+             jnp.asarray(0), batch, jax.random.PRNGKey(0)))
+        step_fn = tr._get_step_fn('train', 0, 1)
+        ca = step_fn.lower(*abstract).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        return float(ca['flops'])
+    except Exception:
+        return None
+    finally:
+        os.environ.pop('IMAGEN_TPU_DISABLE_PALLAS', None)
+
 
 def main_train():
-    """Training throughput: fused ImagenTrainer step (fwd+bwd+clip+adam+EMA,
-    donated buffers) on the flagship base-64 unet with mock batches."""
+    """Training throughput: fused ImagenTrainer step (fwd+bwd+clip+update[+EMA],
+    donated buffers) on the flagship base-64 unet with mock batches.
+
+    train_paper fits the TRUE 1.6B-param BaseUnet64 on one 16 GB chip the way
+    the Imagen paper itself did: zero-momentum Adafactor (factored second
+    moment — Adam's full fp32 m+v would need 13 GB alone), remat'd blocks, no
+    single-chip EMA copy (EMA at this scale rides the sharded multi-chip
+    path). MFU is computed against non-remat model FLOPs, so the remat
+    recompute is honestly counted as overhead, not useful work."""
     import numpy as np
     from imagen_tpu.trainer import ImagenTrainer
 
-    imagen = build_imagen()
+    paper = MODE == 'train_paper'
     # sync_loss=False: the device loss comes back as an async array so steps
     # pipeline — blocking on float(loss) every step left the chip 57% idle
     # over the tunnel transport (profiled)
-    trainer = ImagenTrainer(imagen=imagen, lr=1e-4, use_ema=True,
-                            ema_update_after_step=0, ema_update_every=1,
-                            sync_loss=False)
+    trainer_kwargs = dict(lr=1e-4, sync_loss=False)
+    if paper:
+        trainer_kwargs.update(optimizer='adafactor', beta1=None, use_ema=False)
+    else:
+        trainer_kwargs.update(use_ema=True, ema_update_after_step=0,
+                              ema_update_every=1)
+
     rng = np.random.RandomState(0)
     batch = {
         'images': jnp.asarray(rng.rand(BATCH, 64, 64, 3), jnp.float32),
         'text_embeds': jnp.asarray(rng.randn(BATCH, 256, 768), jnp.float32),
         'text_masks': jnp.ones((BATCH, 256), bool),
     }
+
+    # abstract FLOPs lowering first — allocates nothing
+    flops = _train_step_flops(dict(trainer_kwargs, sync_loss=True), batch)
+
+    trainer = ImagenTrainer(imagen=build_imagen(), **trainer_kwargs)
 
     def run_n(n):
         loss = None
@@ -199,34 +297,32 @@ def main_train():
     elapsed = min(times)
     steps_per_sec = 1.0 / elapsed
 
-    # training FLOPs from XLA cost analysis of the fused step (XLA-only path)
-    mfu = None
-    os.environ['IMAGEN_TPU_DISABLE_PALLAS'] = '1'
-    try:
-        tr2 = ImagenTrainer(imagen=build_imagen(), lr=1e-4, use_ema=True,
-                            ema_update_after_step=0, ema_update_every=1)
-        tr2._ensure_state(0)
-        b2, n_chunks = tr2._prep_batch(dict(batch), None)
-        step_fn = tr2._get_step_fn('train', 0, n_chunks)
-        lowered = step_fn.lower(
-            tr2.params[0], tr2.opt_states[0], tr2.ema_params[0],
-            jnp.asarray(tr2.steps[0]), b2, jax.random.PRNGKey(0))
-        ca = lowered.compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        mfu = round(float(ca['flops']) * steps_per_sec / V5E_BF16_PEAK, 4)
-    except Exception:
-        pass
-    finally:
-        os.environ.pop('IMAGEN_TPU_DISABLE_PALLAS', None)
+    mfu = (round(flops * steps_per_sec / V5E_BF16_PEAK, 4)
+           if flops is not None else None)
+
+    baseline = ROUND_BASE[MODE]
+    if baseline is not None:
+        vs_baseline = steps_per_sec / baseline
+        baseline_note = 'vs round-2 throughput, same config'
+    elif mfu is not None and MODE in R02_MFU:
+        vs_baseline = mfu / R02_MFU[MODE]
+        baseline_note = ('FLOPs-normalized: measured MFU / round-2 scaled-model '
+                         f'MFU ({R02_MFU[MODE]})')
+    else:
+        vs_baseline = 1.0
+        baseline_note = 'first measurement of this mode'
 
     print(json.dumps({
-        'metric': 'train_steps_per_sec',
+        'metric': ('train_paper_steps_per_sec' if MODE == 'train_paper'
+                   else 'train_steps_per_sec'),
         'value': round(steps_per_sec, 4),
         'unit': 'steps/sec',
-        'vs_baseline': 1.0,  # first measured in round 2
+        'vs_baseline': round(vs_baseline, 4),
+        'baseline_note': baseline_note,
         'samples_per_sec_per_chip': round(BATCH * steps_per_sec, 3),
         'batch': BATCH,
         'mode': MODE,
+        **({'model': _MODEL_DESC[MODE]} if MODE in _MODEL_DESC else {}),
         'device': str(jax.devices()[0]),
         **({'mfu': mfu} if mfu is not None else {}),
     }))
@@ -247,11 +343,17 @@ def main():
                          cond_scale=COND_SCALE)
     if MODE == 'video':
         sample_kwargs['video_frames'] = VIDEO_FRAMES
-    if MODE == 'sr1024':
+    if MODE in ('sr1024', 'sr1024_paper'):
         sample_kwargs['start_at_unet_number'] = 2
         sample_kwargs['start_image_or_video'] = jnp.clip(
             jax.random.uniform(jax.random.PRNGKey(4), (BATCH, 256, 256, 3)),
             0., 1.)
+    if os.environ.get('BENCH_OFFLOAD'):
+        # cascade host-offload: park all stages on host, juggle the active one
+        # on-device just-in-time (reference one_unet_in_gpu analog)
+        from imagen_tpu.parallel.mesh import host_offload
+        params = tuple(host_offload(p) for p in params)
+        sample_kwargs['offload_inactive_unets'] = True
 
     import numpy as np
 
@@ -278,20 +380,33 @@ def main():
     images_per_sec = BATCH / elapsed
     sec_per_image = elapsed / BATCH
 
-    value = steps_per_sec if MODE == 'base64' else images_per_sec
+    value = steps_per_sec if MODE.startswith('base64') else images_per_sec
 
     mfu = None
-    if MODE == 'base64':
+    if MODE.startswith('base64'):
         fps = _flops_per_step(imagen, params)
         if fps is not None:
             mfu = round(fps * steps_per_sec / V5E_BF16_PEAK, 4)
+
+    baseline = ROUND_BASE[MODE]
+    if baseline is not None:
+        vs_baseline = value / baseline
+        baseline_note = 'vs round-2 throughput, same config'
+    elif mfu is not None and MODE in R02_MFU:
+        vs_baseline = mfu / R02_MFU[MODE]
+        baseline_note = ('FLOPs-normalized: measured MFU / round-2 scaled-model '
+                         f'MFU ({R02_MFU[MODE]})')
+    else:
+        vs_baseline = 1.0
+        baseline_note = 'first measurement of this mode'
 
     metric, unit = _METRIC[MODE]
     print(json.dumps({
         'metric': metric,
         'value': round(value, 4),
         'unit': unit,
-        'vs_baseline': round(value / ROUND1[MODE], 4),
+        'vs_baseline': round(vs_baseline, 4),
+        'baseline_note': baseline_note,
         'images_per_sec_per_chip': round(images_per_sec, 4),
         'sampler_steps_per_sec': round(steps_per_sec, 3),
         'p50_sec_per_image': round(sec_per_image, 4),
@@ -299,10 +414,11 @@ def main():
         'timesteps': TIMESTEPS,
         'cond_scale': COND_SCALE,
         'mode': MODE,
+        **({'model': _MODEL_DESC[MODE]} if MODE in _MODEL_DESC else {}),
         'device': str(jax.devices()[0]),
         **({'mfu': mfu} if mfu is not None else {}),
     }))
 
 
 if __name__ == '__main__':
-    main_train() if MODE == 'train' else main()
+    main_train() if MODE in ('train', 'train_paper') else main()
