@@ -37,7 +37,7 @@ COND_SCALE = float(os.environ.get('BENCH_COND_SCALE', 3.0))
 MODE = os.environ.get('BENCH_MODE', 'base64_paper')
 _DEFAULT_BATCH = {'base64': 8, 'base64_paper': 8, 'cascade': 4,
                   'cascade_paper': 4, 'edm': 4, 'sr1024': 1, 'sr1024_paper': 1,
-                  'video': 1, 'train': 32, 'train_paper': 8}
+                  'video': 1, 'train': 32, 'train_paper': 16}
 BATCH = int(os.environ.get('BENCH_BATCH', 0)) or _DEFAULT_BATCH.get(MODE, 8)
 VIDEO_FRAMES = int(os.environ.get('BENCH_VIDEO_FRAMES', 16))
 
@@ -59,7 +59,9 @@ ROUND_BASE = {
 R02_MFU = {'base64_paper': 0.5433, 'train_paper': 0.387}
 
 
-def build_imagen():
+def build_imagen(remat=None):
+    """`remat=None` uses the mode default; `remat=False` forces it off (the MFU
+    FLOPs lowering must never count recompute as useful work)."""
     from imagen_tpu.diffusion.imagen import Imagen
     from imagen_tpu.models.unet2d import (
         BaseUnet64, SRUnet256, SRUnet1024, Unet)
@@ -68,7 +70,11 @@ def build_imagen():
 
     if MODE.endswith('_paper'):
         # TRUE paper presets (reference imagen_pytorch.py:1743-1783)
-        base = BaseUnet64(**common, remat=(MODE == 'train_paper'))
+        # selective remat: keep conv/attn/FF outputs, recompute only the cheap
+        # elementwise (full remat re-ran the whole forward: ~20% of the step)
+        if remat is None:
+            remat = 'save_convs' if MODE == 'train_paper' else False
+        base = BaseUnet64(**common, remat=remat)
         if MODE in ('base64_paper', 'train_paper'):
             return Imagen(
                 unets=(base,), image_sizes=(64,), text_embed_dim=768,
@@ -160,25 +166,52 @@ def build_imagen():
 V5E_BF16_PEAK = 197e12  # TPU v5e (lite) bf16 peak FLOP/s
 
 
-def _flops_per_step(imagen, params):
-    """XLA cost-analysis FLOPs of one sampler step (one CFG-doubled base-unet
-    forward), lowered on the XLA-only path — cost analysis cannot see inside
-    pallas calls, and the Pallas kernels compute the same math."""
+def _stage_forward_flops(imagen, params, index):
+    """XLA cost-analysis FLOPs of ONE CFG-doubled unet forward for cascade
+    stage `index`, lowered abstractly on the XLA-only path — cost analysis
+    cannot see inside pallas calls, and the Pallas kernels compute the same
+    math. Returns None for Null/unliftable stages."""
+    from imagen_tpu.models.unet2d import NullUnet
+    unet = imagen.unets[index]
+    if isinstance(unet, NullUnet):
+        return 0.0
+    b2 = 2 * BATCH  # CFG doubling
+    size = imagen.image_sizes[index]
+    is_video = getattr(imagen, 'is_video', False)
+    if is_video:
+        x = jnp.zeros((b2, VIDEO_FRAMES, size, size, imagen.channels),
+                      jnp.bfloat16)
+    else:
+        x = jnp.zeros((b2, size, size, imagen.channels), jnp.bfloat16)
+    t = jnp.zeros((b2,), jnp.float32)
+    kwargs = dict(text_embeds=jnp.zeros((b2, 256, 768), jnp.bfloat16),
+                  text_mask=jnp.ones((b2, 256), bool))
+    if getattr(unet, 'lowres_cond', False):
+        kwargs['lowres_cond_img'] = jnp.zeros_like(x)
+        kwargs['lowres_noise_times'] = t
+    fwd = lambda p, x, t: unet.apply(p, x, t, **kwargs)
+    compiled = jax.jit(fwd).lower(params[index], x, t).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    return float(ca['flops'])
+
+
+def _sample_flops(imagen, params):
+    """Total unet-forward FLOPs of one full sample() batch: per-stage forward
+    cost x per-stage eval count. DDPM stages run `steps` evals; EDM churn+Heun
+    runs 2*steps-1 (second-order correction on every step but the last)."""
     os.environ['IMAGEN_TPU_DISABLE_PALLAS'] = '1'
     try:
-        unet = imagen.unets[0]
-        b2 = 2 * BATCH  # CFG doubling
-        size = imagen.image_sizes[0]
-        x = jnp.zeros((b2, size, size, imagen.channels), jnp.bfloat16)
-        t = jnp.zeros((b2,), jnp.float32)
-        te = jnp.zeros((b2, 256, 768), jnp.bfloat16)
-        tm = jnp.ones((b2, 256), bool)
-        fwd = lambda p, x, t, te, tm: unet.apply(
-            p, x, t, text_embeds=te, text_mask=tm)
-        compiled = jax.jit(fwd).lower(params[0], x, t, te, tm).compile()
-        ca = compiled.cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        return float(ca['flops'])
+        is_edm = hasattr(imagen, 'hparams')
+        total = 0.0
+        for i in range(imagen.num_unets):
+            if MODE in ('sr1024', 'sr1024_paper') and i == 0:
+                continue  # NullUnet stage is skipped entirely
+            steps = TIMESTEPS if i == 0 else TIMESTEPS // 2
+            evals = 2 * steps - 1 if is_edm else steps
+            f = _stage_forward_flops(imagen, params, i)
+            total += f * evals
+        return total or None
     except Exception:
         return None
     finally:
@@ -226,7 +259,7 @@ def _train_step_flops(trainer_kwargs, batch):
 
     os.environ['IMAGEN_TPU_DISABLE_PALLAS'] = '1'
     try:
-        tr = ImagenTrainer(imagen=build_imagen(), verbose=False,
+        tr = ImagenTrainer(imagen=build_imagen(remat=False), verbose=False,
                            **trainer_kwargs)
         variables = jax.eval_shape(
             lambda: tr.imagen.init_unet_params(1, jax.random.PRNGKey(0)))
@@ -383,10 +416,9 @@ def main():
     value = steps_per_sec if MODE.startswith('base64') else images_per_sec
 
     mfu = None
-    if MODE.startswith('base64'):
-        fps = _flops_per_step(imagen, params)
-        if fps is not None:
-            mfu = round(fps * steps_per_sec / V5E_BF16_PEAK, 4)
+    sample_flops = _sample_flops(imagen, params)
+    if sample_flops is not None:
+        mfu = round(sample_flops / elapsed / V5E_BF16_PEAK, 4)
 
     baseline = ROUND_BASE[MODE]
     if baseline is not None:

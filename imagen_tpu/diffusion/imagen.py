@@ -109,6 +109,11 @@ def _per_sample_random_crop(key, tensors, crop_size):
     """Paired per-sample random crop of NHWC tensors (same offsets across tensors).
 
     Replaces the reference's kornia paired RandomCrop (imagen_pytorch.py:2532-2546).
+    Like the reference, the pairing covers (x_start, lowres_cond_img) ONLY —
+    `cond_images` are deliberately NOT cropped in either framework (the reference
+    crops after the cond-image resize, with the cond channels untouched), so a
+    user relying on pixel alignment between cond_images and crops must disable
+    random_crop_sizes. Documented parity-neutral in VERDICT r2.
     """
     b, h, w, _ = tensors[0].shape
     kh, kw = jax.random.split(key)

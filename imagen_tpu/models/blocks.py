@@ -21,6 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 from einops import rearrange, repeat
+from jax.ad_checkpoint import checkpoint_name
 
 from imagen_tpu.ops.attention import (
     kernelized_linear_attention,
@@ -409,8 +410,12 @@ class Block(nn.Module):
             x = x * (scale + 1) + shift
 
         x = jax.nn.silu(x)
-        return nn.Conv(self.dim_out, (3, 3), padding='SAME', dtype=self.dtype,
-                       name='project')(x)
+        x = nn.Conv(self.dim_out, (3, 3), padding='SAME', dtype=self.dtype,
+                    name='project')(x)
+        # named for the selective-remat policy (unet2d remat='save_convs'):
+        # the 3x3 convs are the FLOPs — save their outputs, recompute the
+        # cheap norm/FiLM/SiLU prologue. Identity outside jax.checkpoint.
+        return checkpoint_name(x, 'conv_out')
 
 
 class ResnetBlock(nn.Module):
@@ -453,6 +458,7 @@ class ResnetBlock(nn.Module):
                 dtype=self.dtype,
                 name='cross_attn',
             )(h_flat, context=cond) + h_flat
+            h_flat = checkpoint_name(h_flat, 'attn_out')
             h = rearrange(h_flat, 'b (x y) c -> b x y c', x=hh, y=ww)
 
         h = Block(self.dim_out, dtype=self.dtype, name='block2')(h, scale_shift=scale_shift)
@@ -484,11 +490,13 @@ class TransformerBlock(nn.Module):
         hh, ww = x.shape[1], x.shape[2]
         x = rearrange(x, 'b x y c -> b (x y) c')
         for i in range(self.depth):
-            x = Attention(
+            x = checkpoint_name(Attention(
                 heads=self.heads, dim_head=self.dim_head,
                 context_dim=self.context_dim, dtype=self.dtype,
-                name=f'attn_{i}')(x, context=context) + x
-            x = FeedForward(mult=self.ff_mult, dtype=self.dtype, name=f'ff_{i}')(x) + x
+                name=f'attn_{i}')(x, context=context) + x, 'attn_out')
+            x = checkpoint_name(
+                FeedForward(mult=self.ff_mult, dtype=self.dtype,
+                            name=f'ff_{i}')(x) + x, 'ff_out')
         return rearrange(x, 'b (x y) c -> b x y c', x=hh, y=ww)
 
 

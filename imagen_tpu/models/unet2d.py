@@ -94,7 +94,14 @@ class Unet(nn.Module):
     resize_mode: str = 'nearest'
     combine_upsample_fmaps: bool = False    # unet-squared style upsample fmap combining
     pixel_shuffle_upsample: bool = True
-    remat: bool = False                     # rematerialize blocks (jax.checkpoint)
+    remat: Any = False                      # rematerialize blocks (jax.checkpoint):
+                                            # False | True (save nothing) |
+                                            # 'save_convs' (selective: keep the
+                                            # 3x3-conv / attention / FF outputs,
+                                            # recompute only the cheap
+                                            # norm/FiLM/SiLU elementwise — ~the
+                                            # memory win at a fraction of the
+                                            # recompute FLOPs)
     dtype: Dtype = jnp.float32
 
     @property
@@ -157,10 +164,15 @@ class Unet(nn.Module):
         # rematerialization: trade FLOPs for activation memory (new capability;
         # the reference relies on gradient-checkpoint-free training)
         if self.remat:
-            ResnetBlockK = nn.remat(ResnetBlock)
-            TransformerBlockK = nn.remat(TransformerBlock)
+            remat_kwargs = {}
+            if self.remat == 'save_convs':
+                remat_kwargs['policy'] = (
+                    jax.checkpoint_policies.save_only_these_names(
+                        'conv_out', 'attn_out', 'ff_out'))
+            ResnetBlockK = nn.remat(ResnetBlock, **remat_kwargs)
+            TransformerBlockK = nn.remat(TransformerBlock, **remat_kwargs)
             LinearAttentionTransformerBlockK = nn.remat(
-                LinearAttentionTransformerBlock)
+                LinearAttentionTransformerBlock, **remat_kwargs)
         else:
             ResnetBlockK = ResnetBlock
             TransformerBlockK = TransformerBlock

@@ -38,10 +38,15 @@ def interpret_mode():
     fa._INTERPRET = False
 
 
-def test_flash_gradient_matches_naive(interpret_mode):
-    """The Pallas backward kernels (dq + accumulated dkv) vs XLA autodiff of the
-    naive attention — exact up to fp32 accumulation-order noise."""
+@pytest.mark.parametrize('bwd_tier', ['oneshot', 'stream'])
+def test_flash_gradient_matches_naive(interpret_mode, bwd_tier, monkeypatch):
+    """The Pallas backward kernels vs XLA autodiff of the naive attention —
+    exact up to fp32 accumulation-order noise. Covers BOTH backward tiers: the
+    fused one-shot kernel (bounded nk, all five matmuls in one pass) and the
+    two grid-streamed kernels (unbounded nk)."""
     fa = interpret_mode
+    if bwd_tier == 'stream':
+        monkeypatch.setattr(fa, '_ONESHOT_MAX_NK', 0)
     key = jax.random.PRNGKey(1)
     kq, kk, kv, kg = jax.random.split(key, 4)
     b, h, n, nk, d = 2, 3, 256, 300, 32

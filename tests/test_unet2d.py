@@ -118,3 +118,31 @@ def test_null_unet():
     variables = nu.init({'params': KEY}, x)
     out = nu.apply(variables, x)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_remat_modes_grad_equivalence():
+    """remat=True (full) and remat='save_convs' (selective policy: conv/attn/FF
+    outputs saved, cheap elementwise recomputed) must produce identical
+    forwards AND gradients to the non-remat unet — remat changes scheduling,
+    never math."""
+    x, time, text, mask = make_inputs()
+    cfg = dict(TINY, layer_attns=(False, False, False, True),
+               layer_cross_attns=(False, False, False, True))
+
+    unet0 = Unet(**cfg)
+    variables = unet0.init({'params': KEY}, x, time, text_embeds=text,
+                           text_mask=mask)
+
+    def loss(unet, v):
+        out = unet.apply(v, x, time, text_embeds=text, text_mask=mask)
+        return jnp.sum(out ** 2)
+
+    ref_l, ref_g = jax.value_and_grad(lambda v: loss(unet0, v))(variables)
+    for mode in (True, 'save_convs'):
+        unet = Unet(**cfg, remat=mode)
+        l, g = jax.jit(jax.value_and_grad(lambda v: loss(unet, v)))(variables)
+        np.testing.assert_allclose(float(l), float(ref_l), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g),
+                        jax.tree_util.tree_leaves(ref_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
