@@ -12,6 +12,7 @@ BENCH_MODE selects the config (BASELINE.md):
   cascade          — scaled 64->256 two-stage images/sec/chip
   sr1024_paper     — SRUnet1024 256->1024 tail at true preset dims
   sr1024           — scaled 256->1024 SR tail (NullUnet stage skipped)
+  edm_paper        — ElucidatedImagen 64->256 at true preset dims
   edm              — ElucidatedImagen (churn + Heun) 64->256
   video            — Unet3D 16-frame 64px clips/sec
   train_paper      — fused trainer step on BaseUnet64 (+ training MFU)
@@ -32,11 +33,19 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: the paper-preset programs take minutes to
+# compile over the tunnel device; reruns should pay zero
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
 TIMESTEPS = int(os.environ.get('BENCH_TIMESTEPS', 64))
 COND_SCALE = float(os.environ.get('BENCH_COND_SCALE', 3.0))
 MODE = os.environ.get('BENCH_MODE', 'base64_paper')
 _DEFAULT_BATCH = {'base64': 8, 'base64_paper': 8, 'cascade': 4,
-                  'cascade_paper': 4, 'edm': 4, 'sr1024': 1, 'sr1024_paper': 1,
+                  'cascade_paper': 4, 'edm': 4, 'edm_paper': 4,
+                  'sr1024': 1, 'sr1024_paper': 1,
                   'video': 1, 'train': 32, 'train_paper': 16}
 BATCH = int(os.environ.get('BENCH_BATCH', 0)) or _DEFAULT_BATCH.get(MODE, 8)
 VIDEO_FRAMES = int(os.environ.get('BENCH_VIDEO_FRAMES', 16))
@@ -52,7 +61,7 @@ ROUND_BASE = {
     'video': 1 / 1.075,    # r02 16-frame 64px clips/sec @ batch 1, 32 steps
     'train': 14.5,         # r02 train_steps_per_sec @ batch 32 (464 samples/s)
     'base64_paper': None, 'cascade_paper': None, 'sr1024_paper': None,
-    'train_paper': None,
+    'edm_paper': None, 'train_paper': None,
 }
 # round-2 MFU of the matching scaled path: the FLOPs-normalized baseline for
 # the *_paper modes (see docstring)
@@ -90,6 +99,15 @@ def build_imagen(remat=None):
                 unets=(NullUnet(), SRUnet1024(**common)),
                 image_sizes=(256, 1024), text_embed_dim=768,
                 timesteps=(TIMESTEPS, TIMESTEPS // 2), cond_drop_prob=0.1)
+        if MODE == 'edm_paper':
+            # BASELINE config 3 at true preset dims (reference
+            # elucidated_imagen.py defaults + imagen_pytorch.py:1743-1769)
+            from imagen_tpu.diffusion.elucidated import ElucidatedImagen
+            return ElucidatedImagen(
+                unets=(base, SRUnet256(**common)), image_sizes=(64, 256),
+                text_embed_dim=768,
+                num_sample_steps=(TIMESTEPS, TIMESTEPS // 2),
+                cond_drop_prob=0.1)
         raise ValueError(f'unknown BENCH_MODE {MODE!r}')
 
     base = Unet(
@@ -228,6 +246,8 @@ _METRIC = {
     'sr1024_paper': ('sr1024_paper_256_1024_images_per_sec_per_chip',
                      'images/sec/chip'),
     'edm': ('edm_cascade_64_256_images_per_sec_per_chip', 'images/sec/chip'),
+    'edm_paper': ('edm_paper_cascade_64_256_images_per_sec_per_chip',
+                  'images/sec/chip'),
     'video': ('video_16f_64px_clips_per_sec_per_chip', 'clips/sec/chip'),
 }
 
@@ -237,6 +257,7 @@ _TOTAL_STEPS = {
     'cascade': lambda: TIMESTEPS + TIMESTEPS // 2,
     'cascade_paper': lambda: TIMESTEPS + TIMESTEPS // 2,
     'edm': lambda: TIMESTEPS + TIMESTEPS // 2,
+    'edm_paper': lambda: TIMESTEPS + TIMESTEPS // 2,
     'sr1024': lambda: TIMESTEPS // 2,   # NullUnet stage is skipped
     'sr1024_paper': lambda: TIMESTEPS // 2,
     'video': lambda: TIMESTEPS // 2,
@@ -246,6 +267,7 @@ _MODEL_DESC = {
     'base64_paper': 'BaseUnet64 (dim 512, paper preset)',
     'cascade_paper': 'BaseUnet64 + SRUnet256 (paper presets)',
     'sr1024_paper': 'SRUnet1024 (paper preset)',
+    'edm_paper': 'EDM BaseUnet64 + SRUnet256 (paper presets)',
     'train_paper': 'BaseUnet64 (dim 512, paper preset)',
 }
 

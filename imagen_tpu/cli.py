@@ -209,3 +209,8 @@ def train(config_file, unet, epoches):
             trainer.save(str(ckpt))
 
     trainer.save(str(ckpt))
+
+
+if __name__ == '__main__':
+    # `python -m imagen_tpu.cli ...` == the installed `imagen` console script
+    imagen()

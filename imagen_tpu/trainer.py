@@ -155,6 +155,14 @@ class ImagenTrainer:
         fs_kwargs=None,
         max_checkpoints_keep=20,
         mesh=None,
+        shard_optimizer_states=False,   # ZeRO-1: shard Adam/Adafactor moments over
+                                        # the mesh 'data' axis (1/data of the state
+                                        # HBM per device; GSPMD all-gathers the
+                                        # updated param shards). Params/EMA stay
+                                        # replicated so forward/sampling are
+                                        # unchanged. Pass an int to override the
+                                        # min leaf size that shards (default 2^15
+                                        # elements). Beyond reference parity.
         seed=0,
         sync_loss=True,                 # False: train/step return the DEVICE loss
                                         # scalar (no host sync) so steps pipeline —
@@ -232,6 +240,7 @@ class ImagenTrainer:
                         jnp.asarray, to_host(self.params[i]))
 
         self.mesh = mesh
+        self.shard_optimizer_states = shard_optimizer_states
         self.rng = jax.random.PRNGKey(seed)
         self.sync_loss = sync_loss
 
@@ -377,6 +386,21 @@ class ImagenTrainer:
             return shard_params(self.mesh, tree)
         return replicate(self.mesh, tree)
 
+    def _zero_enabled(self):
+        return (self.shard_optimizer_states and exists(self.mesh)
+                and self.mesh.shape.get('data', 1) > 1)
+
+    def _place_opt_state(self, tree):
+        """Optimizer state goes to the ZeRO-1 layout when enabled (each device
+        holds 1/data of the moments), else it mirrors the param placement."""
+        if self._zero_enabled():
+            from imagen_tpu.parallel.mesh import shard_opt_state
+            flag = self.shard_optimizer_states
+            min_size = flag if (isinstance(flag, int)
+                                and not isinstance(flag, bool)) else 2 ** 15
+            return shard_opt_state(self.mesh, tree, min_size=min_size)
+        return self._place_params(tree)
+
     def _ensure_state(self, index):
         if exists(self.params[index]):
             return
@@ -387,7 +411,7 @@ class ImagenTrainer:
         ema = jax.tree_util.tree_map(jnp.asarray, ema) if exists(ema) else None
         if exists(self.mesh):
             variables = self._place_params(variables)
-            opt_state = self._place_params(opt_state)
+            opt_state = self._place_opt_state(opt_state)
             if exists(ema):
                 ema = self._place_params(ema)
         self.params[index] = variables
@@ -464,10 +488,20 @@ class ImagenTrainer:
         return self.imagen.forward(
             params, images, key, unet_number=index + 1, **kwargs, **extra)
 
+    def _opt_shardings(self, index):
+        """Per-leaf shardings of the live optimizer state, captured so the
+        jitted step can pin its opt-state OUTPUT to the ZeRO-1 layout (without
+        the constraint GSPMD is free to re-replicate the moments)."""
+        if not self._zero_enabled() or not exists(self.opt_states[index]):
+            return None
+        return jax.tree_util.tree_map(
+            lambda x: x.sharding, self.opt_states[index])
+
     def _make_train_step(self, index, n_chunks):
         opt = self._optimizers[index]
         use_ema = self.use_ema
         ema_cfg = self.ema_config
+        opt_shardings = self._opt_shardings(index)
 
         def step_fn(params, opt_state, ema, step, batch, rng):
             # the per-step key derives INSIDE the program: an eager host-side
@@ -497,6 +531,9 @@ class ImagenTrainer:
 
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            if opt_shardings is not None:
+                opt_state = jax.tree_util.tree_map(
+                    jax.lax.with_sharding_constraint, opt_state, opt_shardings)
 
             if use_ema:
                 ema = ema_update(ema_cfg, ema, params, step + 1)
@@ -538,10 +575,14 @@ class ImagenTrainer:
         opt = self._optimizers[index]
         use_ema = self.use_ema
         ema_cfg = self.ema_config
+        opt_shardings = self._opt_shardings(index)
 
         def update_fn(params, opt_state, ema, step, grads):
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            if opt_shardings is not None:
+                opt_state = jax.tree_util.tree_map(
+                    jax.lax.with_sharding_constraint, opt_state, opt_shardings)
             if use_ema:
                 ema = ema_update(ema_cfg, ema, params, step + 1)
             return params, opt_state, ema, step + 1
@@ -946,7 +987,7 @@ class ImagenTrainer:
                 try:
                     target = to_host(self.opt_states[i])
                     restored = _from_state_dict(target, loaded[key])
-                    self.opt_states[i] = self._place_params(restored)
+                    self.opt_states[i] = self._place_opt_state(restored)
                 except Exception:
                     self.print('could not load optimizer state; resuming with a '
                                'fresh optimizer')

@@ -56,3 +56,59 @@ def test_sharded_step_matches_single_device():
 
     np.testing.assert_allclose(
         float(loss_single), float(loss_sharded), rtol=1e-4)
+
+
+def _tiny_trainer(mesh=None, **kwargs):
+    from imagen_tpu.diffusion.imagen import Imagen
+    from imagen_tpu.models.unet2d import Unet
+    from imagen_tpu.trainer import ImagenTrainer
+
+    unet = Unet(dim=8, dim_mults=(1, 2), text_embed_dim=16, cond_dim=8,
+                attn_dim_head=4, attn_heads=2, attn_pool_num_latents=2,
+                max_text_len=8, layer_attns=False,
+                layer_cross_attns=(False, True))
+    imagen = Imagen(unets=(unet,), image_sizes=(16,), text_embed_dim=16,
+                    timesteps=4, cond_drop_prob=0.)
+    return ImagenTrainer(imagen=imagen, lr=1e-3, use_ema=False, verbose=False,
+                         seed=0, mesh=mesh, **kwargs)
+
+
+def test_zero1_optimizer_sharding(tmp_path):
+    """ZeRO-1: optimizer moments shard over 'data'; training math unchanged;
+    checkpoint roundtrip preserves the layout."""
+    from jax.sharding import NamedSharding
+    from imagen_tpu.parallel.mesh import create_mesh
+
+    images = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(1), (8, 16, 16, 3)))
+    embeds = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (8, 8, 16)))
+    batch = dict(images=images, text_embeds=embeds,
+                 text_masks=np.ones((8, 8), bool))
+
+    plain = _tiny_trainer()
+    mesh = create_mesh()
+    # min-size 64: the tiny test model's leaves are far below the production
+    # 2^15 default, and the layout logic is what's under test
+    zero = _tiny_trainer(mesh=mesh, shard_optimizer_states=64)
+
+    losses_plain = [plain.step_with_batch(dict(batch)) for _ in range(3)]
+    losses_zero = [zero.step_with_batch(dict(batch)) for _ in range(3)]
+    np.testing.assert_allclose(losses_plain, losses_zero, rtol=2e-4)
+
+    # the big moment leaves really are sharded over 'data' (1/8 per device)
+    sharded_leaves = [
+        x for x in jax.tree_util.tree_leaves(zero.opt_states[0])
+        if isinstance(getattr(x, 'sharding', None), NamedSharding)
+        and 'data' in tuple(x.sharding.spec)]
+    assert sharded_leaves, 'no optimizer-state leaf got the ZeRO-1 layout'
+    big = max(sharded_leaves, key=lambda x: x.size)
+    assert big.addressable_shards[0].data.size == big.size // 8
+
+    # save/load roundtrip keeps the layout and training continues
+    path = str(tmp_path / 'zero.ckpt')
+    zero.save(path)
+    zero.load(path)
+    leaf = max((x for x in jax.tree_util.tree_leaves(zero.opt_states[0])
+                if hasattr(x, 'sharding')), key=lambda x: x.size)
+    assert 'data' in tuple(leaf.sharding.spec)
+    zero.step_with_batch(dict(batch))
