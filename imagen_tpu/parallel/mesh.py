@@ -173,6 +173,31 @@ def shard_opt_state(mesh: Mesh, tree, min_size: int = 2 ** 15):
         lambda x, s: _place_one(x, s), tree, specs)
 
 
+def fsdp_sharding_rules(mesh: Mesh, params, min_size: int = 2 ** 15):
+    """FSDP / ZeRO-3 layout for PARAMS (beyond parity — the reference's only
+    multi-device strategy is DDP with fully-replicated params, SURVEY.md §2.3).
+
+    The layout is the same shape-driven rule as `zero_sharding_rules`: each
+    large leaf shards its biggest 'data'-divisible free axis over 'data', so
+    every device holds 1/data of the model weights. Applied to params (and the
+    matching optimizer moments + EMA, which share shapes) this is ZeRO-3 by
+    construction under GSPMD: the jitted step consumes sharded weights, XLA
+    inserts the per-layer all-gather right before each weight's use site and a
+    reduce-scatter for its gradient, and the optimizer updates only the local
+    shard. No hand-written collectives — the mesh annotation IS the FSDP
+    implementation on TPU (scaling-book recipe). Composes with the 'model'
+    axis (TP columns) exactly like ZeRO-1 does.
+    """
+    return zero_sharding_rules(mesh, params, min_size)
+
+
+def shard_params_fsdp(mesh: Mesh, params, min_size: int = 2 ** 15):
+    """Place a param pytree in the FSDP (ZeRO-3) layout."""
+    specs = fsdp_sharding_rules(mesh, params, min_size)
+    return jax.tree_util.tree_map(
+        lambda x, s: _place_one(x, s), params, specs)
+
+
 def host_offload(tree):
     """Move a pytree to host memory.
 

@@ -83,6 +83,12 @@ def split_batch_ragged(batch, max_batch_size):
     return chunks, sizes
 
 
+def _min_shard_size(flag, default_size=2 ** 15):
+    """ZeRO/FSDP flags accept True (default min leaf size) or an int override."""
+    return flag if (isinstance(flag, int)
+                    and not isinstance(flag, bool)) else default_size
+
+
 def _is_ragged(batch, max_batch_size):
     if not exists(max_batch_size):
         return False
@@ -163,6 +169,16 @@ class ImagenTrainer:
                                         # unchanged. Pass an int to override the
                                         # min leaf size that shards (default 2^15
                                         # elements). Beyond reference parity.
+        fsdp=False,                     # ZeRO-3 / FSDP: shard PARAMS (and their
+                                        # moments + EMA) over the mesh 'data'
+                                        # axis — 1/data of the weights per
+                                        # device; GSPMD inserts the per-layer
+                                        # all-gather at each weight's use site
+                                        # and a reduce-scatter for its grad.
+                                        # For models whose replicated weights
+                                        # don't fit one chip. Pass an int to
+                                        # override the min leaf size (2^15).
+                                        # Beyond reference parity.
         seed=0,
         sync_loss=True,                 # False: train/step return the DEVICE loss
                                         # scalar (no host sync) so steps pipeline —
@@ -241,6 +257,7 @@ class ImagenTrainer:
 
         self.mesh = mesh
         self.shard_optimizer_states = shard_optimizer_states
+        self.fsdp = fsdp
         self.rng = jax.random.PRNGKey(seed)
         self.sync_loss = sync_loss
 
@@ -376,10 +393,15 @@ class ImagenTrainer:
 
     def _place_params(self, tree):
         """Place a (restored / freshly-built) param-like pytree where training
-        expects it: on the mesh (replicated, or model-sharded when the mesh has
-        a model axis) or on the default device."""
+        expects it: FSDP-sharded over 'data' (ZeRO-3), model-sharded when the
+        mesh has a model axis (TP), replicated otherwise — or on the default
+        device when there is no mesh."""
         if not exists(self.mesh):
             return jax.tree_util.tree_map(jnp.asarray, tree)
+        if self._fsdp_enabled():
+            from imagen_tpu.parallel.mesh import shard_params_fsdp
+            return shard_params_fsdp(
+                self.mesh, tree, min_size=_min_shard_size(self.fsdp))
         if self.mesh.shape.get('model', 1) > 1:
             # tensor-parallel placement (Megatron-style column sharding)
             from imagen_tpu.parallel.mesh import shard_params
@@ -390,15 +412,25 @@ class ImagenTrainer:
         return (self.shard_optimizer_states and exists(self.mesh)
                 and self.mesh.shape.get('data', 1) > 1)
 
+    def _fsdp_enabled(self):
+        return (self.fsdp and exists(self.mesh)
+                and self.mesh.shape.get('data', 1) > 1)
+
     def _place_opt_state(self, tree):
-        """Optimizer state goes to the ZeRO-1 layout when enabled (each device
-        holds 1/data of the moments), else it mirrors the param placement."""
+        """Optimizer state goes to the ZeRO layout when enabled — under FSDP
+        the moments share the params' shapes so the same rules land them on
+        the matching shards (full ZeRO-3); under plain ZeRO-1 each device
+        holds 1/data of the moments while params stay replicated. Otherwise
+        it mirrors the param placement."""
+        if self._fsdp_enabled():
+            from imagen_tpu.parallel.mesh import shard_opt_state
+            return shard_opt_state(
+                self.mesh, tree, min_size=_min_shard_size(self.fsdp))
         if self._zero_enabled():
             from imagen_tpu.parallel.mesh import shard_opt_state
-            flag = self.shard_optimizer_states
-            min_size = flag if (isinstance(flag, int)
-                                and not isinstance(flag, bool)) else 2 ** 15
-            return shard_opt_state(self.mesh, tree, min_size=min_size)
+            return shard_opt_state(
+                self.mesh, tree,
+                min_size=_min_shard_size(self.shard_optimizer_states))
         return self._place_params(tree)
 
     def _ensure_state(self, index):
@@ -490,18 +522,29 @@ class ImagenTrainer:
 
     def _opt_shardings(self, index):
         """Per-leaf shardings of the live optimizer state, captured so the
-        jitted step can pin its opt-state OUTPUT to the ZeRO-1 layout (without
+        jitted step can pin its opt-state OUTPUT to the ZeRO layout (without
         the constraint GSPMD is free to re-replicate the moments)."""
-        if not self._zero_enabled() or not exists(self.opt_states[index]):
+        if not (self._zero_enabled() or self._fsdp_enabled()) \
+                or not exists(self.opt_states[index]):
             return None
         return jax.tree_util.tree_map(
             lambda x: x.sharding, self.opt_states[index])
+
+    def _param_shardings(self, index):
+        """Under FSDP the updated params (and EMA) must come OUT of the step
+        still in the 1/data-per-device layout — without the pin GSPMD may
+        all-gather them back to replicated, defeating the memory win."""
+        if not self._fsdp_enabled() or not exists(self.params[index]):
+            return None
+        return jax.tree_util.tree_map(
+            lambda x: x.sharding, self.params[index])
 
     def _make_train_step(self, index, n_chunks):
         opt = self._optimizers[index]
         use_ema = self.use_ema
         ema_cfg = self.ema_config
         opt_shardings = self._opt_shardings(index)
+        param_shardings = self._param_shardings(index)
 
         def step_fn(params, opt_state, ema, step, batch, rng):
             # the per-step key derives INSIDE the program: an eager host-side
@@ -534,9 +577,15 @@ class ImagenTrainer:
             if opt_shardings is not None:
                 opt_state = jax.tree_util.tree_map(
                     jax.lax.with_sharding_constraint, opt_state, opt_shardings)
+            if param_shardings is not None:
+                params = jax.tree_util.tree_map(
+                    jax.lax.with_sharding_constraint, params, param_shardings)
 
             if use_ema:
                 ema = ema_update(ema_cfg, ema, params, step + 1)
+                if param_shardings is not None:
+                    ema = jax.tree_util.tree_map(
+                        jax.lax.with_sharding_constraint, ema, param_shardings)
 
             return params, opt_state, ema, step + 1, rng, loss
 
@@ -576,6 +625,7 @@ class ImagenTrainer:
         use_ema = self.use_ema
         ema_cfg = self.ema_config
         opt_shardings = self._opt_shardings(index)
+        param_shardings = self._param_shardings(index)
 
         def update_fn(params, opt_state, ema, step, grads):
             updates, opt_state = opt.update(grads, opt_state, params)
@@ -583,8 +633,14 @@ class ImagenTrainer:
             if opt_shardings is not None:
                 opt_state = jax.tree_util.tree_map(
                     jax.lax.with_sharding_constraint, opt_state, opt_shardings)
+            if param_shardings is not None:
+                params = jax.tree_util.tree_map(
+                    jax.lax.with_sharding_constraint, params, param_shardings)
             if use_ema:
                 ema = ema_update(ema_cfg, ema, params, step + 1)
+                if param_shardings is not None:
+                    ema = jax.tree_util.tree_map(
+                        jax.lax.with_sharding_constraint, ema, param_shardings)
             return params, opt_state, ema, step + 1
 
         return jax.jit(update_fn, donate_argnums=(0, 1, 2))
