@@ -27,11 +27,19 @@ def capture(trace_dir):
     text_embeds = jax.random.normal(jax.random.PRNGKey(1), (bench.BATCH, 256, 768))
     text_masks = jnp.ones((bench.BATCH, 256), bool)
 
+    sample_kwargs = dict(text_embeds=text_embeds, text_masks=text_masks,
+                         cond_scale=bench.COND_SCALE)
+    if bench.MODE in ('sr1024', 'sr1024_paper'):
+        # SR-tail modes skip stage 1 and start from a given 256 image
+        sample_kwargs['start_at_unet_number'] = 2
+        sample_kwargs['start_image_or_video'] = jnp.clip(
+            jax.random.uniform(jax.random.PRNGKey(4),
+                               (bench.BATCH, 256, 256, 3)), 0., 1.)
+
     import numpy as np
 
     def run(k):
-        out = imagen.sample(params, k, text_embeds=text_embeds,
-                            text_masks=text_masks, cond_scale=bench.COND_SCALE)
+        out = imagen.sample(params, k, **sample_kwargs)
         np.asarray(out[0, 0, 0])
 
     run(jax.random.PRNGKey(2))   # compile
