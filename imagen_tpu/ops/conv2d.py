@@ -1,0 +1,377 @@
+"""Pallas stride-1 SAME 3x3 convolution (NHWC): a MEASURED NEGATIVE, unwired.
+
+Built for the two conv classes that looked pathological in the SR-1024
+in-situ profile (BENCH.md): the unets' `final_conv` (128 -> 3 at 1024^2,
+XLA ~7.7 ms for a 537 MB input that streams in 0.7 ms) and the
+pre-downsampled big-channel blocks (512^2@128 / 128^2@512 / 64^2@1024).
+
+MEASURED (v5e bf16, isolated chained loops; round 4):
+
+    shape                      XLA      this kernel
+    (2,1024,1024,128)->3       7.7 ms   8.8 ms (cf variant below: 6.6 ms)
+    (2,512,512,128)->128       3.66     2.66   (1.38x)
+    (2,256,256,512)->512       6.24     5.34   (1.17x)
+    (2,128,128,512)->512       1.89     1.80   (1.05x)
+    (2,64,64,1024)->1024       2.14     2.00   (1.07x)
+    (16,64,64,512)->512        3.08     3.27   (0.94x)
+
+Verdict: NOT wired into the models. The in-situ "50-64 TF/s" conv entries
+turned out to include fused producer ops (isolated, XLA runs them at
+72-100 TF/s), so the real headroom is the 1.05-1.38x above — below the
+wire-in bar once the pallas_call boundary's lost producer fusions are paid
+(the round-2 fused-LN lesson). The per-tap cost that caps this kernel is the
+(hb*W, Cin) window materialization per (dy,dx) slice: ~2 MB of VMEM copies
+per tap against a ~0.1 ms DMA. The one genuinely broken XLA case — tiny-Cout
+full-res convs, where the NHWC output is lane-padded Cout -> 128 in HBM and
+even a 1x1 Dense to 3 channels costs 3.6 ms — improves only to 6.6 ms
+(`conv2d_same_cf`): the conv is input-read-dominated and the MXU cannot be
+fed from 9 shifted windows without paying the copies.
+
+Kernel design (kept as the reference halo-DMA pattern): grid
+(batch, H/hb[, Cout/cb]); weights VMEM-resident; the input row band
+[hi*hb - p, hi*hb + hb + p) is DMA'd from HBM (`pl.ANY` un-blocked ref) into
+a zero-initialized scratch with an 8-column sublane-aligned pad, so SAME
+boundary handling is a memset, not host padding; each (dy, dx) tap is a
+static slice contracted on the MXU with fp32 accumulation; bias folds into
+the accumulator init. Backward = jax.vjp of the XLA reference.
+
+Reference semantics: nn.Conv(features, (3, 3), padding='SAME')
+(torch Conv2d(pad=1) in the reference, imagen_pytorch.py:689-691,1434-1443).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False  # tests flip this to run on CPU
+
+# conservative VMEM budget (bytes) for choosing block sizes; the scoped-vmem
+# limit is ~16 MB and pipelined in/out blocks are double-buffered
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _kernel(x_ref, w_ref, b_ref, o_ref, xs_ref, sem, *, k, hb, W, cin,
+            num_h, dtype_bytes):
+    """One (batch, h-block, cout-block) program."""
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    p = k // 2
+    cb = w_ref.shape[3]
+
+    # zero scratch: gives the SAME-padding zeros at image borders and the
+    # W-edge pad columns in one VPU memset (VMEM-resident, ~free vs the DMA)
+    xs_ref[...] = jnp.zeros_like(xs_ref)
+
+    # the W axis is sublane-tiled (8): the DMA destination offset must be a
+    # multiple of 8, so the scratch carries an 8-column left pad regardless
+    # of p and the tap windows below shift by (8 - p)
+    def dma(row0, nrows, dst0):
+        cp = pltpu.make_async_copy(
+            x_ref.at[bi, pl.ds(row0, nrows), :, :],
+            xs_ref.at[pl.ds(dst0, nrows), pl.ds(8, W), :],
+            sem)
+        cp.start()
+        cp.wait()
+
+    H = num_h * hb
+    if num_h == 1:
+        dma(0, H, p)
+    else:
+        # three statically-sized cases (DMA extents must be static)
+        @pl.when(hi == 0)
+        def _():
+            dma(0, hb + p, p)
+
+        @pl.when(hi == num_h - 1)
+        def _():
+            dma(H - (hb + p), hb + p, 0)
+
+        @pl.when(jnp.logical_and(hi > 0, hi < num_h - 1))
+        def _():
+            dma(hi * hb - p, hb + 2 * p, 0)
+
+    acc = jnp.broadcast_to(
+        b_ref[0].astype(jnp.float32), (hb * W, cb))
+    for dy in range(k):
+        for dx in range(k):
+            c0 = 8 - p + dx
+            xwin = xs_ref[dy:dy + hb, c0:c0 + W, :]
+            acc = acc + jax.lax.dot_general(
+                xwin.reshape(hb * W, cin), w_ref[dy, dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    o_ref[0] = acc.reshape(hb, W, cb).astype(o_ref.dtype)
+
+
+def _pick_blocks(H, W, cin, cout, k, dtype_bytes):
+    """(hb, cb) fitting the VMEM budget, or None if no valid tiling exists."""
+    p = k // 2
+    cb_cands = [c for c in (512, 256, 128, cout) if c <= cout and cout % c == 0]
+    hb_cands = [h for h in (64, 32, 16, 8, 4, 2, 1) if h <= H and H % h == 0]
+    for cb in sorted(set(cb_cands), reverse=True):
+        for hb in hb_cands:
+            scratch = (hb + 2 * p) * (W + 16) * cin * dtype_bytes
+            w_blk = 2 * k * k * cin * cb * dtype_bytes          # double-buffered
+            acc = hb * W * max(cb, 128) * 4                     # fp32, lane pad
+            out = 2 * hb * W * max(cb, 128) * dtype_bytes
+            if scratch + w_blk + acc + out <= _VMEM_BUDGET and hb * W >= 512:
+                return hb, cb
+    return None
+
+
+def conv2d_same_available(x_shape, w_shape, dtype):
+    """Shape/backend validity gate (the kernel is UNWIRED — module docstring).
+
+    Kept so tests and future tuning know the kernel's supported envelope; the
+    shape surface below marks where it measured >= 1.0x vs XLA.
+    """
+    if os.environ.get('IMAGEN_TPU_DISABLE_PALLAS'):
+        return False
+    if not _INTERPRET and jax.default_backend() != 'tpu':
+        return False
+    if len(x_shape) != 4 or len(w_shape) != 4:
+        return False
+    b, H, W, cin = x_shape
+    kh, kw, wcin, cout = w_shape
+    if kh != kw or kh % 2 == 0 or wcin != cin:
+        return False
+    if cin % 128 != 0 or W % 128 != 0 or H % 8 != 0:
+        return False
+    if _pick_blocks(H, W, cin, cout, kh, 2) is None:
+        return False
+    # measured decision surface (v5e):
+    #  - cout < 32: XLA is HBM-pathological at any large spatial -> kernel
+    #  - big-channel small-spatial (the pre-downsampled SR levels): kernel
+    if cout < 32 and H * W >= 256 * 256:
+        return True
+    return cin >= 512 and H * W <= 256 * 256 and H * W >= 32 * 32
+
+
+def _forward(x, w, b, interpret=False):
+    bsz, H, W, cin = x.shape
+    k, _, _, cout = w.shape
+    p = k // 2
+    hb, cb = _pick_blocks(H, W, cin, cout, k, x.dtype.itemsize)
+    num_h = H // hb
+    grid = (bsz, num_h, cout // cb)
+
+    w = w.astype(x.dtype)
+    b = (b if b is not None else jnp.zeros((cout,), x.dtype)).astype(x.dtype)
+    b = b.reshape(1, cout)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, k=k, hb=hb, W=W, cin=cin, num_h=num_h,
+                          dtype_bytes=x.dtype.itemsize),
+        out_shape=jax.ShapeDtypeStruct((bsz, H, W, cout), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY if not interpret else pl.ANY),
+            pl.BlockSpec((k, k, cin, cb), lambda bb, hh, cc: (0, 0, 0, cc)),
+            pl.BlockSpec((1, cb), lambda bb, hh, cc: (0, cc)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hb, W, cb), lambda bb, hh, cc: (bb, hh, 0, cc)),
+        scratch_shapes=[
+            pltpu.VMEM((hb + 2 * p, W + 16, cin), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'arbitrary', 'arbitrary')),
+    )(x, w, b)
+
+
+def _xla_reference(x, w, b):
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), 'SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+@jax.custom_vjp
+def conv2d_same(x, w, b):
+    """Stride-1 SAME NHWC conv, Pallas forward / XLA backward.
+
+    x (b,H,W,Cin); w (k,k,Cin,Cout) odd k; b (Cout,) or None. Call only when
+    `conv2d_same_available(x.shape, w.shape, x.dtype)` is True.
+    """
+    return _forward(x, w, b, interpret=_INTERPRET)
+
+
+def _fwd(x, w, b):
+    return conv2d_same(x, w, b), (x, w, b)
+
+
+def _bwd(residuals, g):
+    x, w, b = residuals
+    _, vjp = jax.vjp(_xla_reference, x, w, b)
+    return vjp(g)
+
+
+conv2d_same.defvjp(_fwd, _bwd)
+
+
+# --- channel-first-output variant for tiny Cout (the unets' final conv) ---------------
+#
+# A bf16[b,H,W,3] HBM buffer is lane-padded 3 -> 128 (T(8,128) tiling): writing
+# the final conv's output costs 43x its logical bytes, and XLA's conv emitter
+# for tiny Cout is additionally ~6x off the input-read roofline (measured
+# 7.7 ms at (2,1024,1024,128)->3 where the 537 MB input streams in 0.7 ms; even
+# a 1x1 Dense to 3 channels takes 3.6 ms). This variant accumulates TRANSPOSED
+# — acc[(cout, rows)] = sum_taps W[tap]^T @ x_win — so the output is emitted
+# (b, Cout, H, W): W rides the lanes (dense, no pad) and Cout pads only
+# 3 -> 8 sublanes. The caller moveaxis(1, -1)'s the result; the sampler math
+# consumes it in XLA-chosen dense layouts either way.
+
+def _kernel_cf(x_ref, w_ref, b_ref, o_ref, xs_ref, sem, *, k, hb, W, cin,
+               num_h):
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    p = k // 2
+    cout = w_ref.shape[3]
+
+    xs_ref[...] = jnp.zeros_like(xs_ref)
+
+    def dma(row0, nrows, dst0):
+        cp = pltpu.make_async_copy(
+            x_ref.at[bi, pl.ds(row0, nrows), :, :],
+            xs_ref.at[pl.ds(dst0, nrows), pl.ds(8, W), :],
+            sem)
+        cp.start()
+        cp.wait()
+
+    H = num_h * hb
+    if num_h == 1:
+        dma(0, H, p)
+    else:
+        @pl.when(hi == 0)
+        def _():
+            dma(0, hb + p, p)
+
+        @pl.when(hi == num_h - 1)
+        def _():
+            dma(H - (hb + p), hb + p, 0)
+
+        @pl.when(jnp.logical_and(hi > 0, hi < num_h - 1))
+        def _():
+            dma(hi * hb - p, hb + 2 * p, 0)
+
+    acc = jnp.broadcast_to(
+        b_ref[:, :1].astype(jnp.float32), (cout, hb * W))
+    for dy in range(k):
+        for dx in range(k):
+            c0 = 8 - p + dx
+            xwin = xs_ref[dy:dy + hb, c0:c0 + W, :]
+            # (cin, cout)^T contraction against (rows, cin) -> (cout, rows)
+            acc = acc + jax.lax.dot_general(
+                w_ref[dy, dx], xwin.reshape(hb * W, cin),
+                (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    o_ref[0] = acc.reshape(cout, hb, W).astype(o_ref.dtype)
+
+
+def conv2d_same_cf_available(x_shape, w_shape, dtype):
+    """Gate for the channel-first-output variant: tiny-Cout convs at large
+    spatial (the final conv / non-padded stem class)."""
+    if os.environ.get('IMAGEN_TPU_DISABLE_PALLAS'):
+        return False
+    if not _INTERPRET and jax.default_backend() != 'tpu':
+        return False
+    if len(x_shape) != 4 or len(w_shape) != 4:
+        return False
+    b, H, W, cin = x_shape
+    kh, kw, wcin, cout = w_shape
+    if kh != kw or kh % 2 == 0 or wcin != cin:
+        return False
+    if cin % 128 != 0 or W % 128 != 0 or H % 8 != 0:
+        return False
+    if cout > 8 or H * W < 256 * 256:
+        return False
+    return _pick_blocks_cf(H, W, cin, cout, kh, dtype_itemsize(dtype)) is not None
+
+
+def dtype_itemsize(dtype):
+    return jnp.dtype(dtype).itemsize
+
+
+def _pick_blocks_cf(H, W, cin, cout, k, dtype_bytes):
+    p = k // 2
+    for hb in (32, 16, 8, 4, 2, 1):
+        if hb > H or H % hb:
+            continue
+        scratch = (hb + 2 * p) * (W + 16) * cin * dtype_bytes
+        # each tap's loaded+reshaped (hb*W, cin) window materializes in VMEM
+        xwin_tmp = 2 * hb * W * cin * dtype_bytes
+        acc = max(cout, 8) * hb * W * 4
+        out = 2 * max(cout, 8) * hb * W * dtype_bytes
+        w_all = 2 * k * k * cin * max(cout, 128) * dtype_bytes
+        if (scratch + xwin_tmp + acc + out + w_all <= _VMEM_BUDGET
+                and hb * W >= 512):
+            return hb
+    return None
+
+
+def _forward_cf(x, w, b, interpret=False):
+    bsz, H, W, cin = x.shape
+    k, _, _, cout = w.shape
+    p = k // 2
+    hb = _pick_blocks_cf(H, W, cin, cout, k, x.dtype.itemsize)
+    num_h = H // hb
+
+    w = w.astype(x.dtype)
+    b = (b if b is not None else jnp.zeros((cout,), x.dtype)).astype(x.dtype)
+    b = jnp.broadcast_to(b.reshape(cout, 1), (cout, 8))  # 2D, sublane-tiled
+
+    return pl.pallas_call(
+        functools.partial(_kernel_cf, k=k, hb=hb, W=W, cin=cin, num_h=num_h),
+        out_shape=jax.ShapeDtypeStruct((bsz, cout, H, W), x.dtype),
+        grid=(bsz, num_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((k, k, cin, cout), lambda bb, hh: (0, 0, 0, 0)),
+            pl.BlockSpec((cout, 8), lambda bb, hh: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cout, hb, W), lambda bb, hh: (bb, 0, hh, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hb + 2 * p, W + 16, cin), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'arbitrary')),
+    )(x, w, b)
+
+
+def _xla_reference_cf(x, w, b):
+    return jnp.moveaxis(_xla_reference(x, w, b), -1, 1)
+
+
+@jax.custom_vjp
+def conv2d_same_cf(x, w, b):
+    """Stride-1 SAME conv, NHWC input -> CHANNEL-FIRST (b, Cout, H, W) output.
+
+    For tiny Cout at large spatial, where the NHWC output would be lane-padded
+    Cout -> 128 in HBM. Call only when `conv2d_same_cf_available` is True.
+    """
+    return _forward_cf(x, w, b, interpret=_INTERPRET)
+
+
+def _fwd_cf(x, w, b):
+    return conv2d_same_cf(x, w, b), (x, w, b)
+
+
+def _bwd_cf(residuals, g):
+    x, w, b = residuals
+    _, vjp = jax.vjp(_xla_reference_cf, x, w, b)
+    return vjp(g)
+
+
+conv2d_same_cf.defvjp(_fwd_cf, _bwd_cf)
