@@ -60,8 +60,14 @@ ROUND_BASE = {
     'edm': 2.13,           # r02 EDM 64->256 images/sec/chip @ batch 4
     'video': 1 / 1.075,    # r02 16-frame 64px clips/sec @ batch 1, 32 steps
     'train': 14.5,         # r02 train_steps_per_sec @ batch 32 (464 samples/s)
-    'base64_paper': None, 'cascade_paper': None, 'sr1024_paper': None,
-    'edm_paper': None, 'train_paper': None,
+    # paper-preset modes, first measured in round 3 (BENCH.md); base64_paper /
+    # train_paper keep the MFU-normalized definition below for cross-round
+    # comparability of the driver's headline metric
+    'base64_paper': None,
+    'cascade_paper': 0.874,   # r03 images/sec/chip @ batch 4
+    'sr1024_paper': 0.0719,   # r04 images/sec/chip @ batch 1 (first r04)
+    'edm_paper': 0.437,       # r03 images/sec/chip @ batch 4
+    'train_paper': None,
 }
 # round-2 MFU of the matching scaled path: the FLOPs-normalized baseline for
 # the *_paper modes (see docstring)
