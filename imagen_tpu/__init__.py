@@ -21,6 +21,7 @@ from imagen_tpu.configs import (
     ImagenConfig,
     ElucidatedImagenConfig,
     ImagenTrainerConfig,
+    ParallelConfig,
 )
 
 from imagen_tpu.utils.load import load_imagen_from_checkpoint

@@ -102,7 +102,13 @@ def _build_trainer(cfg):
 
     klass = ElucidatedImagenConfig if cfg['type'] == 'elucidated' else ImagenConfig
     model = klass(**cfg['imagen']).create()
-    trainer = ImagenTrainer(imagen=model, **cfg.get('trainer', {}))
+    trainer_kwargs = dict(cfg.get('trainer', {}))
+    parallel = trainer_kwargs.pop('parallel', None)
+    if parallel is not None:
+        # declarative mesh/FSDP/ZeRO layout (configs.ParallelConfig)
+        from imagen_tpu.configs import ParallelConfig
+        trainer_kwargs.update(ParallelConfig(**parallel).trainer_kwargs())
+    trainer = ImagenTrainer(imagen=model, **trainer_kwargs)
 
     ckpt = Path(cfg['checkpoint_path'])
     if ckpt.exists():

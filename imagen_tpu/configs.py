@@ -162,6 +162,35 @@ class ElucidatedImagenConfig(AllowExtraBaseModel):
         return imagen
 
 
+class ParallelConfig(BaseModel):
+    """Declarative multi-chip layout — the config-file face of `parallel/mesh.py`.
+
+    The reference delegates parallelism to Accelerate's environment (SURVEY.md
+    §2.3), invisible to its config system; on TPU the mesh IS the strategy, so
+    it belongs in the config: `{"trainer": {"parallel": {"data": 8, "fsdp":
+    true}}}` gives a config/CLI user data parallelism + ZeRO-3 without writing
+    any mesh code.
+
+    - data: devices on the 'data' axis (None = all devices / `model`)
+    - model: tensor-parallel axis size (Megatron column sharding of big kernels)
+    - fsdp: ZeRO-3 — shard params+moments+EMA 1/data per device (True, or an
+      int = min leaf size in elements to shard)
+    - shard_optimizer_states: ZeRO-1 — shard only the optimizer moments
+    """
+    data: Optional[int] = None
+    model: int = 1
+    fsdp: Union[bool, int] = False
+    shard_optimizer_states: Union[bool, int] = False
+
+    def create_mesh(self):
+        from imagen_tpu.parallel.mesh import create_mesh
+        return create_mesh(data=self.data, model=self.model)
+
+    def trainer_kwargs(self):
+        return dict(mesh=self.create_mesh(), fsdp=self.fsdp,
+                    shard_optimizer_states=self.shard_optimizer_states)
+
+
 class ImagenTrainerConfig(AllowExtraBaseModel):
     imagen: dict
     elucidated: bool = False
@@ -175,6 +204,7 @@ class ImagenTrainerConfig(AllowExtraBaseModel):
     group_wd_params: bool = True
     warmup_steps: SingleOrList(Optional[int]) = None
     cosine_decay_max_steps: SingleOrList(Optional[int]) = None
+    parallel: Optional[ParallelConfig] = None
 
     def create(self):
         from imagen_tpu.trainer import ImagenTrainer
@@ -183,6 +213,9 @@ class ImagenTrainerConfig(AllowExtraBaseModel):
         imagen_config = trainer_kwargs.pop('imagen')
         elucidated = trainer_kwargs.pop('elucidated')
         video = trainer_kwargs.pop('video')
+        trainer_kwargs.pop('parallel', None)
+        if self.parallel is not None:
+            trainer_kwargs.update(self.parallel.trainer_kwargs())
 
         imagen_config_klass = ElucidatedImagenConfig if elucidated else ImagenConfig
         imagen = imagen_config_klass(**{**imagen_config, 'video': video}).create()
