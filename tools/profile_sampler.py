@@ -23,12 +23,17 @@ def capture(trace_dir):
     import bench
     imagen = bench.build_imagen()
     key = jax.random.PRNGKey(0)
-    params = imagen.init_params(key, batch_size=1, text_len=256)
+    init_kwargs = dict(batch_size=1, text_len=256)
+    if bench.MODE == 'video':
+        init_kwargs['video_frames'] = bench.VIDEO_FRAMES
+    params = imagen.init_params(key, **init_kwargs)
     text_embeds = jax.random.normal(jax.random.PRNGKey(1), (bench.BATCH, 256, 768))
     text_masks = jnp.ones((bench.BATCH, 256), bool)
 
     sample_kwargs = dict(text_embeds=text_embeds, text_masks=text_masks,
                          cond_scale=bench.COND_SCALE)
+    if bench.MODE == 'video':
+        sample_kwargs['video_frames'] = bench.VIDEO_FRAMES
     if bench.MODE in ('sr1024', 'sr1024_paper'):
         # SR-tail modes skip stage 1 and start from a given 256 image
         sample_kwargs['start_at_unet_number'] = 2
