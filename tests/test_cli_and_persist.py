@@ -122,3 +122,33 @@ def test_ema_decay_schedule():
     # warm-start step: copies online params (decay 0)
     out = ema_update(cfg, ema, new, jnp.asarray(3))
     np.testing.assert_allclose(np.asarray(out['w']), 1.)
+
+
+def test_cli_trainer_block_builds_parallel_trainer():
+    """A config file's trainer.parallel block reaches the CLI-built trainer as
+    a real mesh + FSDP layout, and one sharded step runs (the declarative face
+    of parallel/mesh.py — configs.ParallelConfig)."""
+    from imagen_tpu.cli import _build_trainer
+
+    cfg = {
+        'type': 'original',
+        'checkpoint_path': '/nonexistent/never-loaded.msgpack',
+        'imagen': {
+            'unets': [{'dim': 8, 'dim_mults': [1, 2], 'text_embed_dim': 16,
+                       'cond_dim': 8, 'attn_dim_head': 4, 'attn_heads': 2,
+                       'attn_pool_num_latents': 2, 'max_text_len': 8,
+                       'layer_attns': False,
+                       'layer_cross_attns': [False, True]}],
+            'image_sizes': [16], 'text_embed_dim': 16, 'timesteps': 4},
+        'trainer': {'parallel': {'data': 8, 'fsdp': 64},
+                    'use_ema': False, 'verbose': False},
+    }
+    model, trainer, ckpt = _build_trainer(cfg)
+    assert dict(trainer.mesh.shape) == {'data': 8, 'model': 1}
+    assert trainer._fsdp_enabled()
+
+    batch = dict(images=np.zeros((8, 16, 16, 3), np.float32),
+                 text_embeds=np.zeros((8, 8, 16), np.float32),
+                 text_masks=np.ones((8, 8), bool))
+    loss = trainer.step_with_batch(batch, unet_number=1)
+    assert np.isfinite(float(loss))
