@@ -364,7 +364,7 @@ def main_train():
     baseline = ROUND_BASE[MODE]
     if baseline is not None:
         vs_baseline = steps_per_sec / baseline
-        baseline_note = 'vs round-2 throughput, same config'
+        baseline_note = 'vs prior recorded throughput, same config (ROUND_BASE)'
     elif mfu is not None and MODE in R02_MFU:
         vs_baseline = mfu / R02_MFU[MODE]
         baseline_note = ('FLOPs-normalized: measured MFU / round-2 scaled-model '
@@ -451,7 +451,7 @@ def main():
     baseline = ROUND_BASE[MODE]
     if baseline is not None:
         vs_baseline = value / baseline
-        baseline_note = 'vs round-2 throughput, same config'
+        baseline_note = 'vs prior recorded throughput, same config (ROUND_BASE)'
     elif mfu is not None and MODE in R02_MFU:
         vs_baseline = mfu / R02_MFU[MODE]
         baseline_note = ('FLOPs-normalized: measured MFU / round-2 scaled-model '
