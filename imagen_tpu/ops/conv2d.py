@@ -56,7 +56,7 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _kernel(x_ref, w_ref, b_ref, o_ref, xs_ref, sem, *, k, hb, W, cin,
-            num_h, dtype_bytes):
+            num_h):
     """One (batch, h-block, cout-block) program."""
     bi = pl.program_id(0)
     hi = pl.program_id(1)
@@ -165,8 +165,7 @@ def _forward(x, w, b, interpret=False):
     b = b.reshape(1, cout)
 
     return pl.pallas_call(
-        functools.partial(_kernel, k=k, hb=hb, W=W, cin=cin, num_h=num_h,
-                          dtype_bytes=x.dtype.itemsize),
+        functools.partial(_kernel, k=k, hb=hb, W=W, cin=cin, num_h=num_h),
         out_shape=jax.ShapeDtypeStruct((bsz, H, W, cout), x.dtype),
         grid=grid,
         in_specs=[
