@@ -102,12 +102,9 @@ def _build_trainer(cfg):
 
     klass = ElucidatedImagenConfig if cfg['type'] == 'elucidated' else ImagenConfig
     model = klass(**cfg['imagen']).create()
-    trainer_kwargs = dict(cfg.get('trainer', {}))
-    parallel = trainer_kwargs.pop('parallel', None)
-    if parallel is not None:
-        # declarative mesh/FSDP/ZeRO layout (configs.ParallelConfig)
-        from imagen_tpu.configs import ParallelConfig
-        trainer_kwargs.update(ParallelConfig(**parallel).trainer_kwargs())
+    # declarative mesh/FSDP/ZeRO layout (configs.ParallelConfig)
+    from imagen_tpu.configs import apply_parallel
+    trainer_kwargs = apply_parallel(dict(cfg.get('trainer', {})))
     trainer = ImagenTrainer(imagen=model, **trainer_kwargs)
 
     ckpt = Path(cfg['checkpoint_path'])

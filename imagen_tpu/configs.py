@@ -191,6 +191,20 @@ class ParallelConfig(BaseModel):
                     shard_optimizer_states=self.shard_optimizer_states)
 
 
+def apply_parallel(trainer_kwargs: dict) -> dict:
+    """Pop a 'parallel' block (dict or ParallelConfig) out of trainer kwargs
+    and expand it into mesh/fsdp/shard_optimizer_states — the ONE place the
+    declarative block maps to ImagenTrainer kwargs (shared by
+    `ImagenTrainerConfig.create` and the CLI's `_build_trainer`)."""
+    parallel = trainer_kwargs.pop('parallel', None)
+    if parallel is None:
+        return trainer_kwargs
+    if not isinstance(parallel, ParallelConfig):
+        parallel = ParallelConfig(**parallel)
+    trainer_kwargs.update(parallel.trainer_kwargs())
+    return trainer_kwargs
+
+
 class ImagenTrainerConfig(AllowExtraBaseModel):
     imagen: dict
     elucidated: bool = False
@@ -213,9 +227,8 @@ class ImagenTrainerConfig(AllowExtraBaseModel):
         imagen_config = trainer_kwargs.pop('imagen')
         elucidated = trainer_kwargs.pop('elucidated')
         video = trainer_kwargs.pop('video')
-        trainer_kwargs.pop('parallel', None)
-        if self.parallel is not None:
-            trainer_kwargs.update(self.parallel.trainer_kwargs())
+        trainer_kwargs['parallel'] = self.parallel
+        trainer_kwargs = apply_parallel(trainer_kwargs)
 
         imagen_config_klass = ElucidatedImagenConfig if elucidated else ImagenConfig
         imagen = imagen_config_klass(**{**imagen_config, 'video': video}).create()

@@ -125,10 +125,13 @@ def _pick_blocks(H, W, cin, cout, k, dtype_bytes):
 
 
 def conv2d_same_available(x_shape, w_shape, dtype):
-    """Shape/backend validity gate (the kernel is UNWIRED — module docstring).
+    """Shape/backend gate (the kernel is UNWIRED — module docstring).
 
-    Kept so tests and future tuning know the kernel's supported envelope; the
-    shape surface below marks where it measured >= 1.0x vs XLA.
+    Kept so tests and future tuning know the envelope. Returns True only where
+    the kernel both tiles AND measured >= 1.0x vs XLA (the header table):
+    the pre-downsampled SR-level shapes, 128^2..512^2 spatial with >= 128
+    channels in AND out. Tiny-Cout shapes measured SLOWER here (use
+    `conv2d_same_cf` for those); the batch-16 base-64 class also lost.
     """
     if os.environ.get('IMAGEN_TPU_DISABLE_PALLAS'):
         return False
@@ -142,14 +145,10 @@ def conv2d_same_available(x_shape, w_shape, dtype):
         return False
     if cin % 128 != 0 or W % 128 != 0 or H % 8 != 0:
         return False
-    if _pick_blocks(H, W, cin, cout, kh, 2) is None:
+    if _pick_blocks(H, W, cin, cout, kh, dtype_itemsize(dtype)) is None:
         return False
-    # measured decision surface (v5e):
-    #  - cout < 32: XLA is HBM-pathological at any large spatial -> kernel
-    #  - big-channel small-spatial (the pre-downsampled SR levels): kernel
-    if cout < 32 and H * W >= 256 * 256:
-        return True
-    return cin >= 512 and H * W <= 256 * 256 and H * W >= 32 * 32
+    # measured win surface (v5e, header table): mid-res big-channel only
+    return (cout >= 128 and 128 * 128 <= H * W <= 512 * 512)
 
 
 def _forward(x, w, b, interpret=False):

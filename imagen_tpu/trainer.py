@@ -391,22 +391,51 @@ class ImagenTrainer:
 
     # --- state management ----------------------------------------------------------------
 
-    def _place_params(self, tree):
-        """Place a (restored / freshly-built) param-like pytree where training
-        expects it: FSDP-sharded over 'data' (ZeRO-3), model-sharded when the
-        mesh has a model axis (TP), replicated otherwise — or on the default
-        device when there is no mesh."""
+    def _placement_specs(self, tree, *, opt=False):
+        """The SINGLE source of truth for where train state lives on the mesh:
+        a pytree of NamedShardings matching `tree`, or None without a mesh.
+
+        `opt=False`: params/EMA — FSDP-sharded over 'data' (ZeRO-3),
+        model-sharded when the mesh has a model axis (TP), replicated
+        otherwise. `opt=True`: optimizer state — the ZeRO layout when
+        FSDP/ZeRO-1 is on (under FSDP the moments share the params' shapes so
+        the same rules land them on the matching shards), else it mirrors the
+        param rules.
+
+        Both the real placement (`_place_params`/`_place_opt_state`) and the
+        allocation-free `abstract_sharded_state` (AOT lowering checks) derive
+        from this method, so they cannot drift apart."""
         if not exists(self.mesh):
-            return jax.tree_util.tree_map(jnp.asarray, tree)
+            return None
+        from imagen_tpu.parallel.mesh import (
+            fsdp_sharding_rules, param_sharding_rules, replicated,
+            zero_sharding_rules)
+        if opt and self._fsdp_enabled():
+            return zero_sharding_rules(
+                self.mesh, tree, min_size=_min_shard_size(self.fsdp))
+        if opt and self._zero_enabled():
+            return zero_sharding_rules(
+                self.mesh, tree,
+                min_size=_min_shard_size(self.shard_optimizer_states))
         if self._fsdp_enabled():
-            from imagen_tpu.parallel.mesh import shard_params_fsdp
-            return shard_params_fsdp(
+            return fsdp_sharding_rules(
                 self.mesh, tree, min_size=_min_shard_size(self.fsdp))
         if self.mesh.shape.get('model', 1) > 1:
             # tensor-parallel placement (Megatron-style column sharding)
-            from imagen_tpu.parallel.mesh import shard_params
-            return shard_params(self.mesh, tree)
-        return replicate(self.mesh, tree)
+            return param_sharding_rules(self.mesh, tree)
+        repl = replicated(self.mesh)
+        return jax.tree_util.tree_map(lambda _: repl, tree)
+
+    def _place_params(self, tree):
+        """Place a (restored / freshly-built) param-like pytree where training
+        expects it (see `_placement_specs`) — or on the default device when
+        there is no mesh."""
+        if not exists(self.mesh):
+            return jax.tree_util.tree_map(jnp.asarray, tree)
+        from imagen_tpu.parallel.mesh import _place_one
+        specs = self._placement_specs(tree)
+        return jax.tree_util.tree_map(
+            lambda x, s: _place_one(x, s), tree, specs)
 
     def _zero_enabled(self):
         return (self.shard_optimizer_states and exists(self.mesh)
@@ -417,21 +446,37 @@ class ImagenTrainer:
                 and self.mesh.shape.get('data', 1) > 1)
 
     def _place_opt_state(self, tree):
-        """Optimizer state goes to the ZeRO layout when enabled — under FSDP
-        the moments share the params' shapes so the same rules land them on
-        the matching shards (full ZeRO-3); under plain ZeRO-1 each device
-        holds 1/data of the moments while params stay replicated. Otherwise
-        it mirrors the param placement."""
-        if self._fsdp_enabled():
-            from imagen_tpu.parallel.mesh import shard_opt_state
-            return shard_opt_state(
-                self.mesh, tree, min_size=_min_shard_size(self.fsdp))
-        if self._zero_enabled():
-            from imagen_tpu.parallel.mesh import shard_opt_state
-            return shard_opt_state(
-                self.mesh, tree,
-                min_size=_min_shard_size(self.shard_optimizer_states))
-        return self._place_params(tree)
+        """Optimizer state placement (see `_placement_specs(opt=True)`)."""
+        if not exists(self.mesh):
+            return self._place_params(tree)
+        from imagen_tpu.parallel.mesh import _place_one
+        specs = self._placement_specs(tree, opt=True)
+        return jax.tree_util.tree_map(
+            lambda x, s: _place_one(x, s), tree, specs)
+
+    def abstract_sharded_state(self, index):
+        """(params, opt_state, ema) as ShapeDtypeStructs carrying the SAME
+        shardings `_ensure_state` would place — for AOT lowering/compile
+        checks (e.g. the driver's flagship multichip dryrun) without
+        allocating or compiling anything. ema is None when use_ema is off."""
+        variables = jax.eval_shape(
+            lambda: self.imagen.init_unet_params(
+                index + 1, jax.random.PRNGKey(0)))
+        opt_state = jax.eval_shape(self._optimizers[index].init, variables)
+
+        def abstract(tree, specs):
+            if specs is None:
+                return jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree)
+            return jax.tree_util.tree_map(
+                lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                                  sharding=s),
+                tree, specs)
+
+        p = abstract(variables, self._placement_specs(variables))
+        o = abstract(opt_state, self._placement_specs(opt_state, opt=True))
+        e = p if self.use_ema else None
+        return p, o, e
 
     def _ensure_state(self, index):
         if exists(self.params[index]):

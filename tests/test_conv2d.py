@@ -24,7 +24,8 @@ def _rand(shape, key, scale=0.05):
     ((1, 16, 128, 128), 3),     # tiny cout
     ((2, 8, 128, 128), 128),
     ((1, 32, 128, 256), 256),   # multiple h blocks
-    ((2, 16, 128, 128), 384),   # cout grid axis
+    ((2, 16, 128, 128), 384),
+    ((1, 8, 128, 512), 1024),   # cb < cout: real multi-block cout grid (cb=128)
 ])
 def test_conv2d_same_matches_xla(shape, cout):
     b, H, W, cin = shape
@@ -76,3 +77,25 @@ def test_availability_gates():
                                          jnp.bfloat16)  # W not lane-aligned
     assert not c2d.conv2d_same_cf_available((2, 64, 64, 128), (3, 3, 128, 64),
                                             jnp.bfloat16)  # cout too big
+
+
+def test_availability_honors_dtype_budget():
+    """The gate must size VMEM blocks at the REAL itemsize: at fp32 this shape
+    has no valid tiling, so availability must be False — approving it and then
+    crashing in _forward (the round-4 review repro) is the bug being pinned."""
+    shape, wshape = (2, 8, 128, 1024), (3, 3, 1024, 512)
+    assert c2d._pick_blocks(8, 128, 1024, 512, 3, 4) is None
+    assert not c2d.conv2d_same_available(shape, wshape, jnp.float32)
+
+
+def test_gate_true_implies_forward_works():
+    """Every shape the gate approves must actually run through the kernel."""
+    cases = [((1, 128, 128, 128), 128, jnp.float32),
+             ((2, 256, 128, 256), 256, jnp.float32)]
+    for shape, cout, dt in cases:
+        b, H, W, cin = shape
+        assert c2d.conv2d_same_available(shape, (3, 3, cin, cout), dt)
+        x = _rand(shape, 0, 1.0).astype(dt)
+        w = _rand((3, 3, cin, cout), 1).astype(dt)
+        out = c2d.conv2d_same(x, w, None)
+        assert out.shape == (b, H, W, cout)

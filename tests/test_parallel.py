@@ -212,3 +212,56 @@ def test_parallel_config_roundtrips_through_json():
     assert mesh.shape == {'data': 4, 'model': 2}
     kw = pc.trainer_kwargs()
     assert kw['shard_optimizer_states'] is True and kw['fsdp'] is False
+
+
+def test_reexec_virtual_dryrun_child_protocol(monkeypatch):
+    """The subprocess re-exec path (what the grading driver actually hits on a
+    1-real-device host) is too slow to execute in-suite, but its generated
+    child program and environment ARE the contract — pin them: CPU platform
+    forced, the requested device count overriding any pre-set flag, the
+    persistent compile cache configured, the OK sentinel printed, and a
+    failure surfacing stdout+stderr."""
+    import subprocess
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), '..'))
+    import __graft_entry__ as g
+
+    captured = {}
+
+    def fake_run(cmd, env=None, cwd=None, capture_output=None, text=None,
+                 timeout=None):
+        captured.update(cmd=cmd, env=env, cwd=cwd)
+
+        class R:
+            returncode = 0
+            stdout = 'MULTICHIP_DRYRUN_OK\n'
+            stderr = ''
+        return R()
+
+    monkeypatch.setattr(subprocess, 'run', fake_run)
+    monkeypatch.setenv('XLA_FLAGS',
+                       '--xla_force_host_platform_device_count=2 --foo')
+    g._reexec_virtual_dryrun(16)
+
+    code = captured['cmd'][-1]
+    compile(code, '<child>', 'exec')  # the generated program must parse
+    assert "jax.config.update('jax_platforms', 'cpu')" in code
+    assert 'jax_compilation_cache_dir' in code and '.jax_cache_cpu' in code
+    assert '_dryrun_impl(16)' in code
+    # the requested device count wins over the pre-set flag; other flags kept
+    assert '--xla_force_host_platform_device_count=16' in captured['env']['XLA_FLAGS']
+    assert '--xla_force_host_platform_device_count=2' not in captured['env']['XLA_FLAGS']
+    assert '--foo' in captured['env']['XLA_FLAGS']
+
+    # a child that fails (or never prints the sentinel) must raise with logs
+    def fake_run_fail(*a, **k):
+        class R:
+            returncode = 1
+            stdout = 'partial'
+            stderr = 'boom'
+        return R()
+
+    monkeypatch.setattr(subprocess, 'run', fake_run_fail)
+    with pytest.raises(RuntimeError, match='boom'):
+        g._reexec_virtual_dryrun(8)
