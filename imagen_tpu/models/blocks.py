@@ -393,6 +393,37 @@ class GlobalContext(nn.Module):
 
 # --- resnet -----------------------------------------------------------------------------
 
+class SameConv3x3(nn.Module):
+    """`nn.Conv(features, (3, 3), padding='SAME')` with a Pallas fast path.
+
+    Param tree, init, and dtype promotion are IDENTICAL to nn.Conv (kernel
+    (3, 3, cin, cout) lecun-normal, bias (cout,) zeros), so checkpoints and
+    the torch weight-port are unaffected. Dispatches to the halo-DMA kernel
+    (ops/conv2d.py) only on its measured >=1.0x win surface — the SR
+    pre-downsampled big-channel shapes; everything else (incl. all base-64
+    shapes) stays on XLA's conv emitter. `IMAGEN_TPU_PALLAS_CONV=0` disables.
+    """
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype)
+
+        from imagen_tpu.ops import conv2d as _c2d
+        if _c2d.conv2d_same_available(x.shape, kernel.shape, x.dtype):
+            return _c2d.conv2d_same(x, kernel, bias)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), 'SAME',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return y + bias
+
+
 class Block(nn.Module):
     """ChanRMSNorm -> (FiLM scale/shift) -> SiLU -> 3x3 conv;
     reference imagen_pytorch.py:671-691."""
@@ -410,8 +441,7 @@ class Block(nn.Module):
             x = x * (scale + 1) + shift
 
         x = jax.nn.silu(x)
-        x = nn.Conv(self.dim_out, (3, 3), padding='SAME', dtype=self.dtype,
-                    name='project')(x)
+        x = SameConv3x3(self.dim_out, dtype=self.dtype, name='project')(x)
         # named for the selective-remat policy (unet2d remat='save_convs'):
         # the 3x3 convs are the FLOPs — save their outputs, recompute the
         # cheap norm/FiLM/SiLU prologue. Identity outside jax.checkpoint.

@@ -125,15 +125,17 @@ def _pick_blocks(H, W, cin, cout, k, dtype_bytes):
 
 
 def conv2d_same_available(x_shape, w_shape, dtype):
-    """Shape/backend gate (the kernel is UNWIRED — module docstring).
+    """Shape/backend gate for the models' 3x3-conv dispatch (blocks.SameConv3x3).
 
-    Kept so tests and future tuning know the envelope. Returns True only where
-    the kernel both tiles AND measured >= 1.0x vs XLA (the header table):
-    the pre-downsampled SR-level shapes, 128^2..512^2 spatial with >= 128
-    channels in AND out. Tiny-Cout shapes measured SLOWER here (use
-    `conv2d_same_cf` for those); the batch-16 base-64 class also lost.
+    Returns True only where the kernel both tiles AND measured >= 1.0x vs XLA
+    (the header table): the pre-downsampled SR-level shapes, 128^2..512^2
+    spatial with >= 128 channels in AND out. Tiny-Cout shapes measured SLOWER
+    here (use `conv2d_same_cf` for those); the batch-16 base-64 class also
+    lost. `IMAGEN_TPU_PALLAS_CONV=0` force-disables (A/B switch).
     """
     if os.environ.get('IMAGEN_TPU_DISABLE_PALLAS'):
+        return False
+    if os.environ.get('IMAGEN_TPU_PALLAS_CONV', '1') == '0':
         return False
     if not _INTERPRET and jax.default_backend() != 'tpu':
         return False
@@ -208,9 +210,15 @@ def _fwd(x, w, b):
 
 
 def _bwd(residuals, g):
+    # linear-transpose of the two bilinear factors: XLA lowers these straight
+    # to transposed-conv forms with NO forward recompute (a jax.vjp of the
+    # reference would re-run the forward into a dead value instead)
     x, w, b = residuals
-    _, vjp = jax.vjp(_xla_reference, x, w, b)
-    return vjp(g)
+    conv = lambda x_, w_: _xla_reference(x_, w_, None)
+    dx, = jax.linear_transpose(lambda x_: conv(x_, w), x)(g)
+    dw, = jax.linear_transpose(lambda w_: conv(x, w_), w)(g)
+    db = None if b is None else g.sum(axis=(0, 1, 2)).astype(b.dtype)
+    return dx, dw, db
 
 
 conv2d_same.defvjp(_fwd, _bwd)

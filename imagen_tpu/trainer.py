@@ -846,6 +846,16 @@ class ImagenTrainer:
             loss = jnp.mean(jnp.stack(losses))
         return float(loss)
 
+    def step_with_dl_iter(self, dl_iter, *, unet_number=None,
+                          max_batch_size=None, **kwargs):
+        """One train step on the next batch of a user-supplied dataloader
+        iterator (reference trainer.py:625-629). Tuple batches map onto
+        `dl_tuple_output_keywords_names` the same way the internal
+        dataloaders do."""
+        return self.step_with_batch(
+            self._batch_from_dl(dl_iter), unet_number=unet_number,
+            max_batch_size=max_batch_size, **kwargs)
+
     def forward(self, *, unet_number=None, max_batch_size=None, **batch):
         """Loss + gradient accumulation without the optimizer step (two-phase API
         parity with reference trainer.py:963-989; follow with `update`).
@@ -941,6 +951,45 @@ class ImagenTrainer:
             self._ema_swapped = False
             self.params = originals
 
+    def get_ema_unet(self, unet_number=None):
+        """EMA param tree for one unet (the reference returns the EMA module,
+        trainer.py:817-834; params live outside modules here — apply them with
+        `imagen.unets[i].apply`). None if the trainer has EMA disabled."""
+        if not self.use_ema:
+            return None
+        unet_number = self.validate_unet_number(unet_number)
+        index = unet_number - 1
+        self._ensure_state(index)
+        return self.ema_params[index]
+
+    def reset_ema_unets_all_one_device(self, device=None):
+        """Materialize every unet's online+EMA state on the default device (or
+        replicated on the mesh). The reference uses this to undo its cascade
+        GPU-juggling before checkpointing (trainer.py:836-844); here state
+        already lives where `_placement_specs` put it, so this just forces lazy
+        state into existence — kept for API parity."""
+        del device  # single-controller jax: placement is declarative
+        for i in range(self.num_unets):
+            self._ensure_state(i)
+
+    def print_unet_devices(self):
+        """Log each unet's param placement (reference trainer.py:871-880) —
+        on jax that is the sharding of the first param leaf."""
+        def placement(tree):
+            leaves = [x for x in jax.tree_util.tree_leaves(tree)
+                      if hasattr(x, 'sharding')]
+            if not leaves:
+                return 'unmaterialized'
+            s = leaves[0].sharding
+            devs = getattr(s, 'device_set', None)
+            return f'{s}' if devs is None else \
+                f'{type(s).__name__}({len(devs)} devices)'
+
+        for i in range(self.num_unets):
+            self.print(f'unet {i}: {placement(self.params[i])}')
+            if self.use_ema:
+                self.print(f'ema unet {i}: {placement(self.ema_params[i])}')
+
     def sample(self, *args, max_batch_size=None, **kwargs):
         """Sample through the cascade with EMA params (reference trainer.py:947-961).
 
@@ -992,7 +1041,10 @@ class ImagenTrainer:
         bundle = dict(
             model=[to_host(p) for p in self.params],
             version=__version__,
-            steps=np.asarray(self.steps),
+            # np.array COPIES: np.asarray would alias the live step counter,
+            # silently mutating in-memory bundles (state_dict) as training
+            # continues
+            steps=np.array(self.steps),
         )
         if not without_optim_and_sched:
             for i in range(self.num_unets):
@@ -1003,6 +1055,16 @@ class ImagenTrainer:
             bundle['imagen_type'] = 'elucidated' if self.is_elucidated else 'original'
             bundle['imagen_params'] = self.imagen._config
         return bundle
+
+    def state_dict(self, without_optim_and_sched=False):
+        """Alias of `state_bundle` under the reference's name
+        (trainer.py:887-890 delegates to the wrapped module's state_dict)."""
+        return self.state_bundle(without_optim_and_sched)
+
+    def load_state_dict(self, bundle, only_model=False, strict=True):
+        """Restore from an in-memory bundle (reference trainer.py:892-895);
+        file-based restore is `load`."""
+        self._restore_bundle(bundle, only_model=only_model, strict=strict)
 
     def save(self, path, overwrite=True, without_optim_and_sched=False,
              async_save=False, **kwargs):
@@ -1051,6 +1113,11 @@ class ImagenTrainer:
         assert fs.exists(str(path)), f'{path} does not exist'
 
         loaded = load_obj(fs, path)
+        self._restore_bundle(loaded, only_model=only_model, strict=strict)
+        self.print(f'checkpoint loaded from {path}')
+        return loaded
+
+    def _restore_bundle(self, loaded, only_model=False, strict=True):
         model_list = _as_list(loaded['model'])
 
         from packaging import version as version_pkg
@@ -1077,7 +1144,7 @@ class ImagenTrainer:
             self.params[i] = self._place_params(restored)
 
         if only_model:
-            return loaded
+            return
 
         self.steps = np.asarray(loaded['steps'], dtype=np.int64).copy()
         self._dev_steps.clear()
@@ -1104,9 +1171,6 @@ class ImagenTrainer:
                     self.print('Failed loading ema. Trying partial load')
                     self.ema_params[i] = self._place_params(
                         restore_parts(target, ema_list[i]))
-
-        self.print(f'checkpoint loaded from {path}')
-        return loaded
 
     # folder-based rotation (reference trainer.py:633-673)
 

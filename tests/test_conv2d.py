@@ -99,3 +99,68 @@ def test_gate_true_implies_forward_works():
         w = _rand((3, 3, cin, cout), 1).astype(dt)
         out = c2d.conv2d_same(x, w, None)
         assert out.shape == (b, H, W, cout)
+
+# --- SameConv3x3: the models' wired dispatch point --------------------------------------
+
+def test_sameconv3x3_param_tree_matches_nn_conv():
+    """Drop-in guarantee: identical param names/shapes/init values to nn.Conv,
+    so checkpoints and the torch weight-port see no difference."""
+    import flax.linen as nn
+    from imagen_tpu.models.blocks import SameConv3x3
+
+    x = _rand((1, 8, 16, 32), 0, 1.0)
+    key = jax.random.PRNGKey(7)
+    ours = SameConv3x3(64).init(key, x)
+    ref = nn.Conv(64, (3, 3), padding='SAME').init(key, x)
+    assert jax.tree_util.tree_structure(ours) == jax.tree_util.tree_structure(ref)
+    for a, b in zip(jax.tree_util.tree_leaves(ours),
+                    jax.tree_util.tree_leaves(ref)):
+        assert a.shape == b.shape and jnp.array_equal(a, b)
+
+
+def test_sameconv3x3_fallback_equals_nn_conv():
+    """Off the gate surface (tiny shape) the module must be numerically
+    IDENTICAL to nn.Conv — it's the same XLA conv + bias add."""
+    import flax.linen as nn
+    from imagen_tpu.models.blocks import SameConv3x3
+
+    x = _rand((2, 8, 16, 32), 0, 1.0)
+    params = SameConv3x3(48).init(jax.random.PRNGKey(1), x)
+    ref = nn.Conv(48, (3, 3), padding='SAME').apply(params, x)
+    out = SameConv3x3(48).apply(params, x)
+    assert jnp.array_equal(out, ref)
+
+
+def test_sameconv3x3_pallas_dispatch_and_grads(monkeypatch):
+    """On the gate surface the module must route through conv2d_same and keep
+    value/grad agreement with nn.Conv."""
+    import flax.linen as nn
+    from imagen_tpu.models import blocks
+    from imagen_tpu.models.blocks import SameConv3x3
+
+    called = {}
+    real = c2d.conv2d_same
+
+    def spy(x, w, b):
+        called['hit'] = True
+        return real(x, w, b)
+
+    monkeypatch.setattr(c2d, 'conv2d_same', spy)
+
+    shape = (1, 128, 128, 128)
+    x = _rand(shape, 0, 1.0)
+    assert c2d.conv2d_same_available(shape, (3, 3, 128, 128), x.dtype)
+    params = SameConv3x3(128).init(jax.random.PRNGKey(2), x)
+
+    def loss_ours(p, x):
+        return jnp.sum(SameConv3x3(128).apply(p, x) ** 2)
+
+    def loss_ref(p, x):
+        return jnp.sum(nn.Conv(128, (3, 3), padding='SAME').apply(p, x) ** 2)
+
+    (v_o, g_o), (v_r, g_r) = (jax.value_and_grad(f, argnums=(0, 1))(params, x)
+                              for f in (loss_ours, loss_ref))
+    assert called.get('hit'), 'gate shape did not dispatch to the Pallas kernel'
+    assert jnp.abs(v_o - v_r) / jnp.abs(v_r) < 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(g_o), jax.tree_util.tree_leaves(g_r)):
+        assert jnp.max(jnp.abs(a - b)) < 1e-2

@@ -252,3 +252,40 @@ def test_adafactor_optimizer():
     t2 = ImagenTrainer(imagen=tiny_imagen(), optimizer=('adafactor',),
                        use_ema=False, verbose=False)
     assert t2.optimizer_kinds == ('adafactor',)
+
+
+def test_reference_api_corners(capsys):
+    """The reference-named trainer surface: step_with_dl_iter, get_ema_unet,
+    reset_ema_unets_all_one_device, print_unet_devices, state_dict /
+    load_state_dict (reference trainer.py:625-629,817-880,887-895)."""
+    trainer = ImagenTrainer(imagen=tiny_imagen(), use_ema=True,
+                            ema_update_every=1, ema_update_after_step=0)
+    trainer.add_train_dataset(MockDataset(), batch_size=8)
+    trainer.prepare()
+    trainer.create_train_iter()
+
+    loss = trainer.step_with_dl_iter(trainer.train_dl_iter, unet_number=1)
+    assert np.isfinite(float(loss)) and trainer.num_steps_taken(1) == 1
+
+    ema = trainer.get_ema_unet(1)
+    assert ema is not None
+    assert jax.tree_util.tree_structure(ema) == \
+        jax.tree_util.tree_structure(trainer.params[0])
+
+    trainer.reset_ema_unets_all_one_device()
+    trainer.print_unet_devices()
+    printed = capsys.readouterr().out
+    assert 'unet 0' in printed and 'ema unet 0' in printed
+
+    # state_dict -> mutate -> load_state_dict restores params AND step count
+    bundle = trainer.state_dict()
+    leaf0 = jax.tree_util.tree_leaves(trainer.params[0])[0]
+    trainer.step_with_dl_iter(trainer.train_dl_iter, unet_number=1)
+    assert trainer.num_steps_taken(1) == 2
+    trainer.load_state_dict(bundle)
+    assert trainer.num_steps_taken(1) == 1
+    restored0 = jax.tree_util.tree_leaves(trainer.params[0])[0]
+    assert jnp.allclose(jnp.asarray(leaf0), jnp.asarray(restored0))
+
+    ema_off = ImagenTrainer(imagen=tiny_imagen(), use_ema=False)
+    assert ema_off.get_ema_unet(1) is None
