@@ -272,9 +272,13 @@ class VideoAttention(nn.Module):
                 (nb, attn_bias.astype(jnp.float32)), axis=-1)
 
         nk_local = k.shape[-2]
+        per_pixel = not (exists(context) or exists(mask))
+        Gr = (fa.temporal_rows_available(
+                b, n, self.heads, nk_local, interpret=fa._INTERPRET)
+              if per_pixel else None)
         G = (fa.grouped_temporal_available(
                 b, n, self.heads, nk_local, interpret=fa._INTERPRET)
-             if not (exists(context) or exists(mask)) else None)
+             if per_pixel and not exists(Gr) else None)
 
         plain = not (exists(bias_full) or self.causal or exists(mask)
                      or exists(context))
@@ -285,6 +289,24 @@ class VideoAttention(nn.Module):
             q_rows = q.reshape(b, n * self.heads, self.dim_head)
             out = fa.flash_cosine_mqa_rows(
                 q_rows, k, v, q_scale, k_scale, self.scale)
+            out = out.reshape(b, n, inner_dim)
+        elif exists(Gr):
+            # rows-packed path (2nd-gen temporal kernel): all heads fold into
+            # the matmul M dim via the FREE (rows, h*d) -> (rows*h, d) reshape
+            # and Gr pixels' keys share ONE 128-lane tile — half the padded
+            # sim/softmax area of the grouped path below, one matmul per
+            # program instead of an unrolled head loop
+            bias_hfj = (bias_full if exists(bias_full)
+                        else jnp.zeros((self.heads, n, nk_local), jnp.float32))
+            causal_mask = (jnp.triu(jnp.ones((n, nk_local), bool),
+                                    nk_local - n + 1)
+                           if self.causal else None)
+            tile = fa.build_rows_bias(bias_hfj, causal_mask, Gr)
+            q_g = q.reshape(b // Gr, Gr * n, inner_dim)
+            k_g = k.reshape(b // Gr, Gr * nk_local, self.dim_head)
+            v_g = v.reshape(b // Gr, Gr * nk_local, self.dim_head)
+            out = fa.flash_temporal_rows(
+                q_g, k_g, v_g, q_scale, k_scale, tile, self.scale, self.heads)
             out = out.reshape(b, n, inner_dim)
         elif exists(G):
             # grouped packed path: frames*heads rows per pixel share one KV —

@@ -943,6 +943,200 @@ def grouped_temporal_available(batch, frames, heads, nk_local, interpret=False):
     return G
 
 
+# --- rows-packed temporal attention (per-pixel KV in ONE lane tile) -------------------
+#
+# Second-generation temporal kernel. The grouped kernel above concatenates
+# G=8 pixels' keys (136 -> 256 lane pad) and unrolls 8 per-head matmuls per
+# program, so only ~7% of its sim/softmax area is live. This variant uses two
+# facts instead:
+#   1. (rows, h*d) reshapes FREELY to (rows*h, d) (row-major: h is already the
+#      next-minor axis), so all heads pack into the matmul M dimension with
+#      row order (pixel, frame, head) — ONE (G*F*H, d) x (d, 128) matmul per
+#      program replaces the unrolled head loop.
+#   2. G is chosen so ALL G pixels' keys fit ONE 128-lane tile
+#      (G*nk_local <= 128), halving the padded sim/softmax area vs the
+#      grouped kernel's 256 lanes.
+# The bias tile stays block-diagonal (rows of pixel g live against key slice
+# [g*nk, (g+1)*nk)) and is resident across the grid.
+
+def _temporal_rows_kernel(q_ref, k_ref, v_ref, qs_ref, bias_ref, o_ref, *,
+                          ng, m, nkp):
+    """ng pixel-groups per program (the per-group programs are too small to
+    amortize grid overhead — measured); the (m, nkp) bias tile is IDENTICAL
+    for every group, so one resident copy serves all ng iterations."""
+    gain = qs_ref[0].astype(jnp.float32)              # scale*log2e prefolded
+    bias = bias_ref[0]
+    for i in range(ng):
+        kblk = k_ref[0, i * nkp:(i + 1) * nkp]        # (nkp, d), pre-normalized
+        qn = _l2norm_scale(q_ref[0, i * m:(i + 1) * m], gain)
+        s = jax.lax.dot_general(
+            qn, kblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (m, nkp), base-2 domain
+        s = s + bias
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - mx)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, i * nkp:(i + 1) * nkp],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, i * m:(i + 1) * m] = (acc / l).astype(o_ref.dtype)
+
+
+def _temporal_rows_ng(n_groups, M):
+    """Pixel-groups per program: fold enough groups together to amortize the
+    per-program grid overhead (~1 us measured) while keeping blocks modest."""
+    import os
+    forced = int(os.environ.get('IMAGEN_TPU_TEMPORAL_NG', 0))
+    for ng in ((forced,) if forced else (8, 4, 2, 1)):
+        if n_groups % ng == 0 and ng * M <= 8192:
+            return ng
+    return 1
+
+
+def _temporal_rows_forward(q, k, v, q_scale, k_scale, bias_e, scale, heads,
+                           interpret=False):
+    """q: (B, rows, heads*d) packed (rows = G*frames); k/v: (B, nk, d) with
+    nk = G*nk_local <= 128; bias_e: (rows*heads, 128) fp32 natural-domain
+    additive bias in (pixel, frame, head) row order (-1e30 masks, incl. the
+    pad columns beyond nk)."""
+    B, rows, hd = q.shape
+    d = hd // heads
+    nk = k.shape[1]
+    nkp = _round_up(nk, 128)
+    assert bias_e.shape == (rows * heads, nkp), (bias_e.shape, rows, heads, nkp)
+
+    k = _xla_l2norm_scale(k, k_scale)
+    if nk != nkp:
+        pad = ((0, 0), (0, nkp - nk), (0, 0))
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    M = rows * heads
+    ng = _temporal_rows_ng(B, M)
+    q_rows = q.reshape(B // ng, ng * M, d)   # free: (rows, h*d) -> (rows*h, d)
+    k = k.reshape(B // ng, ng * nkp, d)
+    v = v.reshape(B // ng, ng * nkp, d)
+    bias2 = (bias_e.astype(jnp.float32) * _LOG2E)[None]
+
+    out = pl.pallas_call(
+        functools.partial(_temporal_rows_kernel, ng=ng, m=M, nkp=nkp),
+        out_shape=jax.ShapeDtypeStruct((B // ng, ng * M, d), q.dtype),
+        grid=(B // ng,),
+        in_specs=[
+            pl.BlockSpec((1, ng * M, d), lambda bb: (bb, 0, 0)),
+            pl.BlockSpec((1, ng * nkp, d), lambda bb: (bb, 0, 0)),
+            pl.BlockSpec((1, ng * nkp, d), lambda bb: (bb, 0, 0)),
+            pl.BlockSpec((1, d), lambda bb: (0, 0)),
+            pl.BlockSpec((1, M, nkp), lambda bb: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, ng * M, d), lambda bb: (bb, 0, 0)),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=('parallel',)),
+    )(q_rows, k, v, (q_scale * (scale * _LOG2E)).reshape(1, d), bias2)
+    return out.reshape(B, rows, hd)
+
+
+def _temporal_rows_naive(q, k, v, q_scale, k_scale, bias_e, scale, heads):
+    """XLA reference semantics for the rows-packed temporal kernel."""
+    B, rows, hd = q.shape
+    d = hd // heads
+    nk = k.shape[1]
+    qn = _xla_l2norm_scale(q.reshape(B, rows * heads, d), q_scale)
+    kn = _xla_l2norm_scale(k, k_scale)
+    sim = jnp.einsum('bmd,bjd->bmj', qn, kn).astype(jnp.float32) * scale
+    sim = sim + bias_e[None, :, :nk]
+    attn = jax.nn.softmax(sim, axis=-1).astype(q.dtype)
+    out = jnp.einsum('bmj,bjd->bmd', attn, v)
+    return out.reshape(B, rows, hd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def flash_temporal_rows(q, k, v, q_scale, k_scale, bias_e, scale, heads):
+    """Rows-packed per-pixel-KV temporal attention (see section comment).
+
+    q (B, rows, heads*d); k/v (B, nk<=128, d); bias_e (rows*heads, 128) fp32
+    natural-domain additive bias, (pixel, frame, head) row order, -1e30 masks
+    (cross-pixel, causal, AND the pad columns beyond nk)."""
+    return _temporal_rows_forward(q, k, v, q_scale, k_scale, bias_e, scale,
+                                  heads, interpret=_INTERPRET)
+
+
+def _temporal_rows_fwd(q, k, v, q_scale, k_scale, bias_e, scale, heads):
+    out = _temporal_rows_forward(q, k, v, q_scale, k_scale, bias_e, scale,
+                                 heads, interpret=_INTERPRET)
+    return out, (q, k, v, q_scale, k_scale, bias_e)
+
+
+def _temporal_rows_bwd(scale, heads, residuals, g):
+    q, k, v, q_scale, k_scale, bias_e = residuals
+    _, vjp = jax.vjp(
+        lambda *a: _temporal_rows_naive(*a, scale, heads), q, k, v, q_scale,
+        k_scale, bias_e)
+    return vjp(g)
+
+
+flash_temporal_rows.defvjp(_temporal_rows_fwd, _temporal_rows_bwd)
+
+
+def temporal_rows_available(batch, frames, heads, nk_local, interpret=False):
+    """Gate for the rows-packed temporal path: pick the pixel group size G
+    (None if the shapes don't fit). All G pixels' keys share one lane tile and
+    the (G*frames*heads, nkp) sim tile must stay VMEM-friendly.
+
+    OPT-IN (`IMAGEN_TPU_TEMPORAL_ROWS=1`): measured SLOWER than the grouped
+    kernel at the video hot shape at every (G, ng) configuration
+    (tools/microbench_temporal.py; BENCH.md kernel table) — kept as the
+    documented second-generation design study, not the wired default."""
+    import os
+    if os.environ.get('IMAGEN_TPU_DISABLE_PALLAS'):
+        return None
+    if not os.environ.get('IMAGEN_TPU_TEMPORAL_ROWS'):
+        return None
+    if not (interpret or jax.default_backend() == 'tpu'):
+        return None
+    if nk_local > 128:
+        return None
+    forced = int(os.environ.get('IMAGEN_TPU_TEMPORAL_G', 0))
+    G = forced or max(1, 128 // max(nk_local, 1))
+    while G > 1 and batch % G:
+        G -= 1
+    if batch % G:
+        return None
+    M = G * frames * heads
+    nkp = _round_up(G * nk_local, 128)
+    if M % 8 or M > 4096 or nkp > 512:
+        return None  # sublane alignment; sim+bias tiles <= ~4 MB VMEM
+    if M * nkp * 8 > 4 * 1024 * 1024:
+        return None  # resident bias + sim tile budget
+    return G
+
+
+def build_rows_bias(bias_hfj, causal_mask, G):
+    """Block-diagonal additive bias tile for `flash_temporal_rows`.
+
+    bias_hfj: (heads, f, nk_local) fp32 per-pixel additive bias (natural
+    domain). causal_mask: (f, nk_local) bool, True = masked, or None.
+    Returns (G*f*heads, 128) fp32 with -1e30 on cross-pixel, masked, and pad
+    terms; row order (pixel-in-group, frame, head) matches the free
+    (rows, h*d) -> (rows*h, d) reshape the kernel consumes.
+    """
+    h, f, nkl = bias_hfj.shape
+    blk = bias_hfj
+    if causal_mask is not None:
+        blk = jnp.where(causal_mask[None], _NEG_INF, blk)
+    blk_fh = blk.transpose(1, 0, 2)                    # (f, h, nkl)
+    eye = jnp.eye(G, dtype=bool)[:, None, None, :, None]
+    tile = jnp.where(eye, blk_fh[None, :, :, None, :], _NEG_INF)
+    tile = tile.reshape(G * f * h, G * nkl)
+    nkp = _round_up(G * nkl, 128)
+    if G * nkl != nkp:
+        tile = jnp.pad(tile, ((0, 0), (0, nkp - G * nkl)),
+                       constant_values=_NEG_INF)
+    return tile
+
+
 def build_grouped_bias(bias_hfj, causal_mask, G):
     """Block-diagonal additive bias tile for `flash_grouped_cosine`.
 

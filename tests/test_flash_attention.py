@@ -224,3 +224,68 @@ def test_grouped_temporal_grads(interpret_mode):
     for a, b_ in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=3e-2, rtol=3e-2)
+
+def test_temporal_rows_kernel_matches_naive(interpret_mode, monkeypatch):
+    """flash_temporal_rows == its XLA reference semantics, direct call."""
+    fa = interpret_mode
+    monkeypatch.setenv('IMAGEN_TPU_TEMPORAL_ROWS', '1')   # opt-in path
+    B, F, H, D, NKL = 16, 4, 2, 8, 5
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    q = jax.random.normal(ks[0], (B, F, H * D))
+    k = jax.random.normal(ks[1], (B, NKL, D))
+    v = jax.random.normal(ks[2], (B, NKL, D))
+    qs = jnp.abs(jax.random.normal(ks[3], (D,))) + 0.5
+    ksc = jnp.abs(jax.random.normal(ks[4], (D,))) + 0.5
+    bias = jax.random.normal(ks[5], (H, F, NKL))
+
+    G = fa.temporal_rows_available(B, F, H, NKL, interpret=True)
+    assert G is not None and G > 1
+    assert G * NKL <= 128, 'all keys must share one lane tile'
+    cm = jnp.triu(jnp.ones((F, NKL), bool), NKL - F + 1)
+    tile = fa.build_rows_bias(bias, cm, G)
+    args = (q.reshape(B // G, G * F, H * D), k.reshape(B // G, G * NKL, D),
+            v.reshape(B // G, G * NKL, D), qs, ksc, tile)
+
+    out = fa.flash_temporal_rows(*args, 8.0, H)
+    ref = fa._temporal_rows_naive(*args, 8.0, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # grads flow through the custom_vjp (XLA-recompute backward)
+    g1 = jax.grad(lambda q_: jnp.sum(
+        fa.flash_temporal_rows(q_, *args[1:], 8.0, H) ** 2))(args[0])
+    g2 = jax.grad(lambda q_: jnp.sum(
+        fa._temporal_rows_naive(q_, *args[1:], 8.0, H) ** 2))(args[0])
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_temporal_rows_in_video_attention(interpret_mode, monkeypatch):
+    """VideoAttention dispatches to the rows-packed path when opted in and
+    matches the XLA path (the path is opt-in: measured slower than grouped,
+    see BENCH.md)."""
+    fa = interpret_mode
+    monkeypatch.setenv('IMAGEN_TPU_TEMPORAL_ROWS', '1')
+    import imagen_tpu.models.video_blocks as vb
+
+    b, f, heads, d, c = 16, 8, 4, 32, 64   # nk_local = 9 -> Gr = 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, f, c))
+    mod = vb.VideoAttention(dim_head=d, heads=heads, causal=True,
+                            rel_pos_bias=True, init_zero=False)
+    variables = mod.init(jax.random.PRNGKey(1), x)
+
+    Gr = fa.temporal_rows_available(b, f, heads, f + 1, interpret=True)
+    assert Gr is not None and Gr > 1, 'rows path must engage for this shape'
+    out_rows = mod.apply(variables, x)
+
+    orig_r, orig_g = fa.temporal_rows_available, fa.grouped_temporal_available
+    fa.temporal_rows_available = lambda *a, **kw: None
+    fa.grouped_temporal_available = lambda *a, **kw: None
+    try:
+        out_xla = mod.apply(variables, x)
+    finally:
+        fa.temporal_rows_available = orig_r
+        fa.grouped_temporal_available = orig_g
+
+    np.testing.assert_allclose(np.asarray(out_rows), np.asarray(out_xla),
+                               atol=2e-3, rtol=2e-3)
