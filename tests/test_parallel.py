@@ -247,12 +247,15 @@ def test_reexec_virtual_dryrun_child_protocol(monkeypatch):
     code = captured['cmd'][-1]
     compile(code, '<child>', 'exec')  # the generated program must parse
     assert "jax.config.update('jax_platforms', 'cpu')" in code
-    assert 'jax_compilation_cache_dir' in code and '.jax_cache_cpu' in code
+    assert 'jax_compilation_cache_dir' in code and 'dryrun_xla_cache' in code
     assert '_dryrun_impl(16)' in code
-    # the requested device count wins over the pre-set flag; other flags kept
+    # the child's XLA_FLAGS are exact (deterministic compile-cache keys):
+    # requested device count wins, parent flags are NOT inherited (they'd
+    # change the cache key and silently fall back to the cold compile)
     assert '--xla_force_host_platform_device_count=16' in captured['env']['XLA_FLAGS']
+    assert '--xla_backend_optimization_level=0' in captured['env']['XLA_FLAGS']
     assert '--xla_force_host_platform_device_count=2' not in captured['env']['XLA_FLAGS']
-    assert '--foo' in captured['env']['XLA_FLAGS']
+    assert '--foo' not in captured['env']['XLA_FLAGS']
 
     # a child that fails (or never prints the sentinel) must raise with logs
     def fake_run_fail(*a, **k):
