@@ -15,6 +15,24 @@ def test_mesh_creation():
     assert mesh2.shape['data'] == 4 and mesh2.shape['model'] == 2
 
 
+def test_dryrun_cache_committed():
+    """The driver runs dryrun_multichip from a FRESH checkout with a hard
+    timeout; it only fits because the child's XLA compile cache is COMMITTED
+    at tools/dryrun_xla_cache/ (cold compile is ~308 s on the 1-core driver
+    host — over the timeout). Guard against the cache being deleted or left
+    empty; staleness after model/trainer changes is re-detected by
+    `python tools/refresh_dryrun_cache.py --check`."""
+    import os
+    cache = os.path.join(os.path.dirname(__file__), '..', 'tools',
+                         'dryrun_xla_cache')
+    assert os.path.isdir(cache), (
+        'tools/dryrun_xla_cache missing — run tools/refresh_dryrun_cache.py '
+        'and commit it')
+    assert len(os.listdir(cache)) >= 3, (
+        'dryrun cache incomplete (expect >=3 compiled programs) — run '
+        'tools/refresh_dryrun_cache.py and commit it')
+
+
 def test_dryrun_multichip():
     import sys, os
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
