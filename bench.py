@@ -65,7 +65,7 @@ ROUND_BASE = {
     # comparability of the driver's headline metric
     'base64_paper': None,
     'cascade_paper': 0.874,   # r03 images/sec/chip @ batch 4
-    'sr1024_paper': 0.0719,   # r04 images/sec/chip @ batch 1 (first r04)
+    'sr1024_paper': 0.0872,   # r04 END images/sec/chip @ batch 1 (Pallas conv wired)
     'edm_paper': 0.437,       # r03 images/sec/chip @ batch 4
     'train_paper': None,
 }

@@ -215,6 +215,7 @@ class ImagenTrainerConfig(AllowExtraBaseModel):
     beta1: float = 0.9
     beta2: float = 0.99
     max_grad_norm: Optional[float] = None
+    weight_decay: SingleOrList(float) = 0.0
     group_wd_params: bool = True
     warmup_steps: SingleOrList(Optional[int]) = None
     cosine_decay_max_steps: SingleOrList(Optional[int]) = None

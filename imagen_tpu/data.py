@@ -15,10 +15,20 @@ from imagen_tpu.utils.helpers import exists
 
 
 def cycle(dl):
-    """Infinite iterator; reference data.py:24-27."""
+    """Infinite iterator; reference data.py:24-27.
+
+    Guards against an empty dataloader (mirrors trainer.cycle,
+    trainer.py:100-109) — a bare `while True: for ...` would spin forever
+    yielding nothing.
+    """
     while True:
+        yielded = False
         for data in dl:
+            yielded = True
             yield data
+        if not yielded:
+            raise ValueError(
+                'dataloader yielded no batches - is the dataset empty?')
 
 
 def convert_image_to(img_type, image):

@@ -457,7 +457,10 @@ class ElucidatedImagen:
                 img = self.resize_to(start_image_or_video, prev_image_size)
 
         outputs = []
-        for unet_number in range(1, num_unets + 1):
+        from imagen_tpu.utils.helpers import stage_progress
+        for unet_number in stage_progress(
+                range(1, num_unets + 1), enabled=use_tqdm,
+                desc='sampling cascade (EDM)', total=num_unets):
             if unet_number < start_at_unet_number:
                 continue
             index = unet_number - 1

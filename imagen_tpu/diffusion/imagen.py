@@ -585,8 +585,8 @@ class Imagen:
         are already where they need to be and are used as-is.
 
         `params` is the tuple of per-unet variables. The host loop only orchestrates
-        stages; each stage is one compiled program. `use_tqdm` is accepted for API
-        parity (stages are compiled scans; there is no per-step host callback).
+        stages; each stage is one compiled program. `use_tqdm` shows per-STAGE
+        progress (per-step progress is impossible inside a compiled scan).
 
         `noise_override`: per-stage list (len == num_unets, entries may be None) of
         (init_noise, step_noises) pairs consumed instead of PRNG draws — lets a
@@ -659,7 +659,10 @@ class Imagen:
                 img = self.resize_to(start_image_or_video, prev_image_size)
 
         outputs = []
-        for unet_number in range(1, num_unets + 1):
+        from imagen_tpu.utils.helpers import stage_progress
+        for unet_number in stage_progress(
+                range(1, num_unets + 1), enabled=use_tqdm,
+                desc='sampling cascade', total=num_unets):
             if unet_number < start_at_unet_number:
                 continue
             index = unet_number - 1

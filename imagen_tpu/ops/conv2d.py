@@ -1,9 +1,10 @@
-"""Pallas stride-1 SAME 3x3 convolution (NHWC): a MEASURED NEGATIVE, unwired.
+"""Pallas stride-1 SAME 3x3 convolution (NHWC): WIRED on its measured win
+surface (big-channel SR shapes), off elsewhere.
 
-Built for the two conv classes that looked pathological in the SR-1024
-in-situ profile (BENCH.md): the unets' `final_conv` (128 -> 3 at 1024^2,
-XLA ~7.7 ms for a 537 MB input that streams in 0.7 ms) and the
-pre-downsampled big-channel blocks (512^2@128 / 128^2@512 / 64^2@1024).
+Built for the conv classes that looked pathological in the SR-1024 in-situ
+profile (BENCH.md): the pre-downsampled big-channel blocks
+(512^2@128 / 128^2@512 / 64^2@1024) and the unets' `final_conv`
+(128 -> 3 at 1024^2).
 
 MEASURED (v5e bf16, isolated chained loops; round 4):
 
@@ -15,17 +16,20 @@ MEASURED (v5e bf16, isolated chained loops; round 4):
     (2,64,64,1024)->1024       2.14     2.00   (1.07x)
     (16,64,64,512)->512        3.08     3.27   (0.94x)
 
-Verdict: NOT wired into the models. The in-situ "50-64 TF/s" conv entries
-turned out to include fused producer ops (isolated, XLA runs them at
-72-100 TF/s), so the real headroom is the 1.05-1.38x above — below the
-wire-in bar once the pallas_call boundary's lost producer fusions are paid
-(the round-2 fused-LN lesson). The per-tap cost that caps this kernel is the
-(hb*W, Cin) window materialization per (dy,dx) slice: ~2 MB of VMEM copies
-per tap against a ~0.1 ms DMA. The one genuinely broken XLA case — tiny-Cout
-full-res convs, where the NHWC output is lane-padded Cout -> 128 in HBM and
-even a 1x1 Dense to 3 channels costs 3.6 ms — improves only to 6.6 ms
-(`conv2d_same_cf`): the conv is input-read-dominated and the MXU cannot be
-fed from 9 shifted windows without paying the copies.
+Verdict (round 4, revised): WIRED via `blocks.SameConv3x3` on exactly the
+winning shapes (>=128 cin AND cout, 128^2-512^2 spatial; gate in
+blocks.py; `IMAGEN_TPU_PALLAS_CONV=0` disables). End-to-end A/B on the full
+sr1024_paper sampler: **13.90 -> 11.47 s/img (1.213x, MFU 30.9 -> 37.5)** —
+the in-situ win beats the isolated 1.05-1.38x because the opaque
+custom-call boundary stops XLA from fusing 537 MB elementwise producers
+into its conv loops (they compile into their own dense ~600 GB/s fusions
+instead). Base-64 / small shapes stay on XLA, where the kernel measures
+0.87-0.94x. The per-tap cost that caps this kernel is the (hb*W, Cin)
+window materialization per (dy,dx) slice. The tiny-Cout full-res case —
+NHWC output lane-padded Cout -> 128 in HBM — improves only 7.7 -> 6.6 ms
+(`conv2d_same_cf`, ~0.5% of the SR sample; see blocks.py for wiring
+status): the conv is input-read-dominated and the MXU cannot be fed from 9
+shifted windows without paying the copies.
 
 Kernel design (kept as the reference halo-DMA pattern): grid
 (batch, H/hb[, Cout/cb]); weights VMEM-resident; the input row band

@@ -93,3 +93,17 @@ def safe_get_tuple_index(tup, index, default=None):
     if len(tup) <= index:
         return default
     return tup[index]
+
+
+def stage_progress(iterable, *, enabled, desc, total=None):
+    """Per-STAGE progress bar for the cascade host loops (reference tqdm-wraps
+    its unet cascade, imagen_pytorch.py:2408). Per-step progress is impossible
+    here — each stage is one compiled scan — but the stage loop is host-side
+    and free to report. No-op passthrough when disabled or tqdm is absent."""
+    if not enabled:
+        return iterable
+    try:
+        from tqdm.auto import tqdm
+    except ImportError:
+        return iterable
+    return tqdm(iterable, desc=desc, unit='stage', total=total, leave=False)

