@@ -209,7 +209,9 @@ class ElucidatedImagen:
                             has_cond_images, sigma_min, sigma_max, clamp=True,
                             video_frames=None, has_cond_video_frames=False,
                             has_post_cond_video_frames=False,
-                            has_noise_override=False):
+                            has_noise_override=False,
+                            has_eps_override=False,
+                            has_repaint_override=False):
         unet = self.unets[unet_index]
         hp = self.hparams[unet_index]
         dynamic_threshold = self.dynamic_thresholding[unet_index]
@@ -247,9 +249,15 @@ class ElucidatedImagen:
                 sigma_next_arr = sigma_next_arr[skip_steps:]
                 gamma_arr = gamma_arr[skip_steps:]
 
+            init_ov = eps_ov = repaint_ov = None
+            if isinstance(noise_override, (tuple, list)):
+                init_ov, eps_ov, repaint_ov = noise_override
+            elif noise_override is not None:
+                init_ov = noise_override
+
             key, init_key = jax.random.split(key)
             if has_noise_override:
-                images = init_sigma * noise_override
+                images = init_sigma * init_ov
             else:
                 images = init_sigma * jax.random.normal(init_key, shape)
             if has_init_images:
@@ -274,9 +282,23 @@ class ElucidatedImagen:
 
             total_steps = sigma_arr.shape[0]
 
+            # per-(t, r) host-fed draws for cross-framework parity: churn eps
+            # and RePaint renoise, each (total_steps, resample_times, *shape),
+            # consumed in the reference's draw order (elucidated_imagen.py
+            # :489-494 churn, :533-536 repaint)
+            if has_eps_override:
+                assert eps_ov.shape == (total_steps, resample_times, *shape), \
+                    (eps_ov.shape, (total_steps, resample_times, *shape))
+            if has_repaint_override:
+                assert repaint_ov.shape == (total_steps, resample_times, *shape), \
+                    (repaint_ov.shape, (total_steps, resample_times, *shape))
+
             def step(carry, scanned):
                 images, x_start, key = carry
-                sigma, sigma_next, gamma, step_ind = scanned
+                sigma = scanned['sigma']
+                sigma_next = scanned['sigma_next']
+                gamma = scanned['gamma']
+                step_ind = scanned['ind']
                 is_last_timestep = step_ind == (total_steps - 1)
 
                 def resample_body(i, inner):
@@ -284,7 +306,10 @@ class ElucidatedImagen:
                     r_is_last = i == (resample_times - 1)
 
                     key, ek = jax.random.split(key)
-                    eps = hp.S_noise * jax.random.normal(ek, shape)  # stochastic churn
+                    if has_eps_override:
+                        eps = hp.S_noise * scanned['eps'][i]
+                    else:
+                        eps = hp.S_noise * jax.random.normal(ek, shape)  # stochastic churn
 
                     sigma_hat = sigma + gamma * sigma
                     added_noise = jnp.sqrt(
@@ -324,7 +349,10 @@ class ElucidatedImagen:
 
                     if has_inpainting and resample_times > 1:
                         key, rk = jax.random.split(key)
-                        repaint_noise = jax.random.normal(rk, shape)
+                        if has_repaint_override:
+                            repaint_noise = scanned['repaint'][i]
+                        else:
+                            repaint_noise = jax.random.normal(rk, shape)
                         renoised = images_out + (sigma - sigma_next) * repaint_noise
                         renoise = jnp.logical_not(
                             jnp.logical_or(r_is_last, is_last_timestep))
@@ -342,10 +370,14 @@ class ElucidatedImagen:
                 return (images, x_start, key), None
 
             x_start0 = jnp.zeros_like(images)
-            step_inds = jnp.arange(total_steps)
+            xs = dict(sigma=sigma_arr, sigma_next=sigma_next_arr,
+                      gamma=gamma_arr, ind=jnp.arange(total_steps))
+            if has_eps_override:
+                xs['eps'] = eps_ov
+            if has_repaint_override:
+                xs['repaint'] = repaint_ov
             (images, _, _), _ = jax.lax.scan(
-                step, (images, x_start0, key),
-                (sigma_arr, sigma_next_arr, gamma_arr, step_inds))
+                step, (images, x_start0, key), xs)
 
             images = jnp.clip(images, -1., 1.)
             if has_inpainting:
@@ -390,9 +422,16 @@ class ElucidatedImagen:
     ):
         """Full-cascade EDM sampling; reference elucidated_imagen.py:549-751.
 
-        `noise_override`: per-stage list (entries may be None) of unit-normal init
-        noise arrays consumed instead of the PRNG draw (the schedule's sigma_max
-        scaling is applied inside) — parity/repro harness hook."""
+        `noise_override`: per-stage list (entries may be None) consumed instead
+        of PRNG draws — parity/repro harness hook. Each entry is either a
+        unit-normal INIT noise array (the schedule's sigma_max scaling is
+        applied inside), or a dict with optional keys:
+          'init':    (*shape) init draw,
+          'eps':     (num_steps, resample_times, *shape) per-(t, r) churn draws
+                     (reference elucidated_imagen.py:489-494; S_noise applied
+                     inside),
+          'repaint': (num_steps, resample_times, *shape) per-(t, r) RePaint
+                     renoise draws (reference :533-536)."""
         cond_images = maybe(cast_uint8_images_to_float)(cond_images)
 
         if exists(texts) and not exists(text_embeds) and not self.unconditional:
@@ -519,13 +558,25 @@ class ElucidatedImagen:
                     inpaint_masks[..., None].astype(jnp.float32), image_size,
                     **resize_kwargs).astype(bool)
 
+            # normalize the override entry to an (init, eps, repaint) triple
+            stage_override = noise_override[index]
+            if isinstance(stage_override, dict):
+                stage_override = (stage_override.get('init'),
+                                  stage_override.get('eps'),
+                                  stage_override.get('repaint'))
+            elif exists(stage_override):
+                stage_override = (stage_override, None, None)
+            else:
+                stage_override = (None, None, None)
+            override_flags = tuple(exists(x) for x in stage_override)
+
             cache_key = (index, cond_scale[index], resample_times, has_inpainting,
                          skip_steps[index], exists(unet_init_images),
                          not self.unconditional, exists(cond_images),
                          sigma_min[index], sigma_max[index], frame_dim,
                          exists(stage_cond_video_frames),
                          exists(stage_post_cond_video_frames),
-                         exists(noise_override[index]))
+                         override_flags)
             if cache_key not in self._stage_sample_cache:
                 self._stage_sample_cache[cache_key] = self._make_stage_sampler(
                     index, cond_scale=cond_scale[index],
@@ -538,7 +589,9 @@ class ElucidatedImagen:
                     video_frames=frame_dim,
                     has_cond_video_frames=exists(stage_cond_video_frames),
                     has_post_cond_video_frames=exists(stage_post_cond_video_frames),
-                    has_noise_override=exists(noise_override[index]))
+                    has_noise_override=override_flags[0],
+                    has_eps_override=override_flags[1],
+                    has_repaint_override=override_flags[2])
             stage_fn = self._stage_sample_cache[cache_key]
 
             img = stage_fn(
@@ -546,7 +599,7 @@ class ElucidatedImagen:
                 cond_images, lowres_cond_img, lowres_noise_times,
                 stage_inpaint_images, stage_inpaint_masks, unet_init_images,
                 stage_cond_video_frames, stage_post_cond_video_frames,
-                noise_override[index])
+                stage_override)
 
             outputs.append(img)
             if offload_inactive_unets:

@@ -200,17 +200,12 @@ def _xla_reference(x, w, b):
 
 
 @jax.custom_vjp
-def conv2d_same(x, w, b):
-    """Stride-1 SAME NHWC conv, Pallas forward / XLA backward.
-
-    x (b,H,W,Cin); w (k,k,Cin,Cout) odd k; b (Cout,) or None. Call only when
-    `conv2d_same_available(x.shape, w.shape, x.dtype)` is True.
-    """
+def _conv2d_same_cv(x, w, b):
     return _forward(x, w, b, interpret=_INTERPRET)
 
 
 def _fwd(x, w, b):
-    return conv2d_same(x, w, b), (x, w, b)
+    return _conv2d_same_cv(x, w, b), (x, w, b)
 
 
 def _bwd(residuals, g):
@@ -225,7 +220,22 @@ def _bwd(residuals, g):
     return dx, dw, db
 
 
-conv2d_same.defvjp(_fwd, _bwd)
+_conv2d_same_cv.defvjp(_fwd, _bwd)
+
+
+def conv2d_same(x, w, b):
+    """Stride-1 SAME NHWC conv, Pallas forward / XLA backward.
+
+    x (b,H,W,Cin); w (k,k,Cin,Cout) odd k; b (Cout,) or None. Call only when
+    `conv2d_same_available(x.shape, w.shape, x.dtype)` is True. Under an
+    active kernel mesh (parallel.kernel_sharding) the call shard_maps over
+    the image-batch axis so GSPMD never replicates the activations around the
+    opaque kernel; weight/bias cotangents are psum'd across the axis."""
+    from imagen_tpu.parallel.kernel_sharding import shard_over_batch
+    if b is None:
+        return shard_over_batch(lambda x, w: _conv2d_same_cv(x, w, None),
+                                (x, w), (True, False))
+    return shard_over_batch(_conv2d_same_cv, (x, w, b), (True, False, False))
 
 
 # --- channel-first-output variant for tiny Cout (the unets' final conv) ---------------
@@ -365,17 +375,12 @@ def _xla_reference_cf(x, w, b):
 
 
 @jax.custom_vjp
-def conv2d_same_cf(x, w, b):
-    """Stride-1 SAME conv, NHWC input -> CHANNEL-FIRST (b, Cout, H, W) output.
-
-    For tiny Cout at large spatial, where the NHWC output would be lane-padded
-    Cout -> 128 in HBM. Call only when `conv2d_same_cf_available` is True.
-    """
+def _conv2d_same_cf_cv(x, w, b):
     return _forward_cf(x, w, b, interpret=_INTERPRET)
 
 
 def _fwd_cf(x, w, b):
-    return conv2d_same_cf(x, w, b), (x, w, b)
+    return _conv2d_same_cf_cv(x, w, b), (x, w, b)
 
 
 def _bwd_cf(residuals, g):
@@ -384,4 +389,19 @@ def _bwd_cf(residuals, g):
     return vjp(g)
 
 
-conv2d_same_cf.defvjp(_fwd_cf, _bwd_cf)
+_conv2d_same_cf_cv.defvjp(_fwd_cf, _bwd_cf)
+
+
+def conv2d_same_cf(x, w, b):
+    """Stride-1 SAME conv, NHWC input -> CHANNEL-FIRST (b, Cout, H, W) output.
+
+    For tiny Cout at large spatial, where the NHWC output would be lane-padded
+    Cout -> 128 in HBM. Call only when `conv2d_same_cf_available` is True.
+    shard_map'd over the image-batch axis under an active kernel mesh (see
+    conv2d_same)."""
+    from imagen_tpu.parallel.kernel_sharding import shard_over_batch
+    if b is None:
+        return shard_over_batch(lambda x, w: _conv2d_same_cf_cv(x, w, None),
+                                (x, w), (True, False))
+    return shard_over_batch(_conv2d_same_cf_cv, (x, w, b),
+                            (True, False, False))

@@ -707,8 +707,7 @@ def _naive_cosine_mqa(q, k, v, q_scale, k_scale, scale):
 # reshape wrappers ((b,h,n,d) -> (b, h*n, d) is a contiguous collapse).
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def flash_mqa_rows(q, k, v, scale):
-    """Flash rows attention over pre-normalized q: q (b, R, d), k/v (b, nk, d)."""
+def _flash_mqa_rows_cv(q, k, v, scale):
     return _flash_rows_forward(q, k, v, scale, interpret=_INTERPRET)
 
 
@@ -724,13 +723,23 @@ def _rows_bwd(scale, residuals, g):
                                      interpret=_INTERPRET)
 
 
-flash_mqa_rows.defvjp(_rows_fwd, _rows_bwd)
+_flash_mqa_rows_cv.defvjp(_rows_fwd, _rows_bwd)
+
+
+def flash_mqa_rows(q, k, v, scale):
+    """Flash rows attention over pre-normalized q: q (b, R, d), k/v (b, nk, d).
+
+    Under an active kernel mesh (`parallel.kernel_sharding`, set by the
+    trainer's jitted steps) the call — forward AND custom-vjp backward — runs
+    inside `shard_map` over the batch axis, so GSPMD never replicates the
+    kernel's operands across data-parallel devices."""
+    from imagen_tpu.parallel.kernel_sharding import shard_over_batch
+    return shard_over_batch(lambda q, k, v: _flash_mqa_rows_cv(q, k, v, scale),
+                            (q, k, v), (True, True, True))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def flash_cosine_mqa_rows(q, k, v, q_scale, k_scale, scale):
-    """Fused cosine-sim flash rows attention: raw q/k + learned per-dim gains; the
-    l2norm+gain prologue runs inside the kernel."""
+def _flash_cosine_mqa_rows_cv(q, k, v, q_scale, k_scale, scale):
     return _flash_rows_forward(q, k, v, scale, q_scale=q_scale, k_scale=k_scale,
                                interpret=_INTERPRET)
 
@@ -756,7 +765,20 @@ def _cos_rows_bwd(scale, residuals, g):
     return dq, dk, dv, dqs, dks
 
 
-flash_cosine_mqa_rows.defvjp(_cos_rows_fwd, _cos_rows_bwd)
+_flash_cosine_mqa_rows_cv.defvjp(_cos_rows_fwd, _cos_rows_bwd)
+
+
+def flash_cosine_mqa_rows(q, k, v, q_scale, k_scale, scale):
+    """Fused cosine-sim flash rows attention: raw q/k + learned per-dim gains; the
+    l2norm+gain prologue runs inside the kernel.
+
+    shard_map'd over the batch axis under an active kernel mesh (see
+    flash_mqa_rows); the replicated gains' gradients are psum'd across the
+    axis by shard_map's transpose rule."""
+    from imagen_tpu.parallel.kernel_sharding import shard_over_batch
+    return shard_over_batch(
+        lambda q, k, v, qs, ks: _flash_cosine_mqa_rows_cv(q, k, v, qs, ks, scale),
+        (q, k, v, q_scale, k_scale), (True, True, True, False, False))
 
 
 def flash_multiquery_attention(q, k, v, scale):
@@ -895,11 +917,7 @@ def _grouped_packed_naive(q, k, v, q_scale, k_scale, bias_e, scale, heads):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def flash_grouped_cosine(q, k, v, q_scale, k_scale, bias_e, scale, heads):
-    """Grouped packed temporal attention (see module section comment).
-
-    q (B, rows, heads*d); k/v (B, nk, d); bias_e (heads*rows, nk) fp32 additive
-    bias in the natural domain (use -1e30 to mask, NOT -inf)."""
+def _flash_grouped_cosine_cv(q, k, v, q_scale, k_scale, bias_e, scale, heads):
     return _grouped_packed_forward(q, k, v, q_scale, k_scale, bias_e, scale,
                                    heads, interpret=_INTERPRET)
 
@@ -918,7 +936,23 @@ def _grouped_bwd(scale, heads, residuals, g):
     return vjp(g)
 
 
-flash_grouped_cosine.defvjp(_grouped_fwd, _grouped_bwd)
+_flash_grouped_cosine_cv.defvjp(_grouped_fwd, _grouped_bwd)
+
+
+def flash_grouped_cosine(q, k, v, q_scale, k_scale, bias_e, scale, heads):
+    """Grouped packed temporal attention (see module section comment).
+
+    q (B, rows, heads*d); k/v (B, nk, d); bias_e (heads*rows, nk) fp32 additive
+    bias in the natural domain (use -1e30 to mask, NOT -inf). The leading dim
+    B packs (video_batch, pixel_groups) batch-major, so under an active kernel
+    mesh the call shard_maps over it (see flash_mqa_rows); the shared bias and
+    gains stay replicated."""
+    from imagen_tpu.parallel.kernel_sharding import shard_over_batch
+    return shard_over_batch(
+        lambda q, k, v, qs, ks, be: _flash_grouped_cosine_cv(
+            q, k, v, qs, ks, be, scale, heads),
+        (q, k, v, q_scale, k_scale, bias_e),
+        (True, True, True, False, False, False))
 
 
 def grouped_temporal_available(batch, frames, heads, nk_local, interpret=False):
@@ -1053,12 +1087,7 @@ def _temporal_rows_naive(q, k, v, q_scale, k_scale, bias_e, scale, heads):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def flash_temporal_rows(q, k, v, q_scale, k_scale, bias_e, scale, heads):
-    """Rows-packed per-pixel-KV temporal attention (see section comment).
-
-    q (B, rows, heads*d); k/v (B, nk<=128, d); bias_e (rows*heads, 128) fp32
-    natural-domain additive bias, (pixel, frame, head) row order, -1e30 masks
-    (cross-pixel, causal, AND the pad columns beyond nk)."""
+def _flash_temporal_rows_cv(q, k, v, q_scale, k_scale, bias_e, scale, heads):
     return _temporal_rows_forward(q, k, v, q_scale, k_scale, bias_e, scale,
                                   heads, interpret=_INTERPRET)
 
@@ -1077,7 +1106,23 @@ def _temporal_rows_bwd(scale, heads, residuals, g):
     return vjp(g)
 
 
-flash_temporal_rows.defvjp(_temporal_rows_fwd, _temporal_rows_bwd)
+_flash_temporal_rows_cv.defvjp(_temporal_rows_fwd, _temporal_rows_bwd)
+
+
+def flash_temporal_rows(q, k, v, q_scale, k_scale, bias_e, scale, heads):
+    """Rows-packed per-pixel-KV temporal attention (see section comment).
+
+    q (B, rows, heads*d); k/v (B, nk<=128, d); bias_e (rows*heads, 128) fp32
+    natural-domain additive bias, (pixel, frame, head) row order, -1e30 masks
+    (cross-pixel, causal, AND the pad columns beyond nk). shard_map'd over the
+    leading (batch-major) dim under an active kernel mesh (see
+    flash_mqa_rows)."""
+    from imagen_tpu.parallel.kernel_sharding import shard_over_batch
+    return shard_over_batch(
+        lambda q, k, v, qs, ks, be: _flash_temporal_rows_cv(
+            q, k, v, qs, ks, be, scale, heads),
+        (q, k, v, q_scale, k_scale, bias_e),
+        (True, True, True, False, False, False))
 
 
 def temporal_rows_available(batch, frames, heads, nk_local, interpret=False):

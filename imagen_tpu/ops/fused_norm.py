@@ -298,8 +298,7 @@ def _ff_forward(x, g0, w0, g1, w1, eps, interpret=False):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def fused_feedforward(x, g0, w0, g1, w1, eps):
-    """LayerNorm -> Dense -> GELU -> LayerNorm -> Dense in one VMEM-resident pass."""
+def _fused_feedforward_cv(x, g0, w0, g1, w1, eps):
     return _ff_forward(x, g0, w0, g1, w1, eps)
 
 
@@ -314,7 +313,18 @@ def _ff_bwd(eps, residuals, ct):
     return vjp(ct)
 
 
-fused_feedforward.defvjp(_ff_fwd, _ff_bwd)
+_fused_feedforward_cv.defvjp(_ff_fwd, _ff_bwd)
+
+
+def fused_feedforward(x, g0, w0, g1, w1, eps):
+    """LayerNorm -> Dense -> GELU -> LayerNorm -> Dense in one VMEM-resident
+    pass. Under an active kernel mesh (parallel.kernel_sharding) the call
+    shard_maps over x's leading (batch) axis — weights replicated, weight
+    cotangents psum'd across the axis by shard_map's transpose rule."""
+    from imagen_tpu.parallel.kernel_sharding import shard_over_batch
+    return shard_over_batch(
+        lambda x, g0, w0, g1, w1: _fused_feedforward_cv(x, g0, w0, g1, w1, eps),
+        (x, g0, w0, g1, w1), (True, False, False, False, False))
 
 
 # --- fused LayerNorm->matmul and matmul->LayerNorm --------------------------------------

@@ -166,6 +166,13 @@ class ImagenTrainer:
         checkpoint_fs=None,
         fs_kwargs=None,
         max_checkpoints_keep=20,
+        checkpoint_backend='msgpack',   # 'msgpack': single-file bundle, full
+                                        # state gathered to host (reference
+                                        # torch.save schema). 'orbax': sharded
+                                        # per-shard writes/restores — under
+                                        # FSDP/ZeRO no host ever materializes
+                                        # the full params/optimizer state; a
+                                        # checkpoint is a directory
         mesh=None,
         shard_optimizer_states=False,   # ZeRO-1: shard Adam/Adafactor moments over
                                         # the mesh 'data' axis (1/data of the state
@@ -287,6 +294,8 @@ class ImagenTrainer:
         self.split_random_seed = split_random_seed
 
         # checkpointing
+        assert checkpoint_backend in ('msgpack', 'orbax'), checkpoint_backend
+        self.checkpoint_backend = checkpoint_backend
         assert not (exists(checkpoint_path) ^ exists(checkpoint_every))
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = checkpoint_every
@@ -714,6 +723,29 @@ class ImagenTrainer:
 
         return jax.jit(update_fn, donate_argnums=(0, 1, 2))
 
+    def _with_kernel_mesh(self, jit_fn):
+        """Trace the jitted step under `kernel_batch_sharding`: every Pallas
+        kernel inside runs in a `shard_map` over the mesh's 'data' axis, so
+        GSPMD never all-gathers the batch-sharded activations around the
+        opaque kernel custom calls (the round-4 multi-chip risk). The context
+        only matters at trace time; `.lower` is forwarded for AOT use
+        (__graft_entry__ flagship lowering)."""
+        if not exists(self.mesh) or self.mesh.shape.get('data', 1) <= 1:
+            return jit_fn
+        from imagen_tpu.parallel.kernel_sharding import kernel_batch_sharding
+        mesh = self.mesh
+
+        def wrapped(*args, **kw):
+            with kernel_batch_sharding(mesh):
+                return jit_fn(*args, **kw)
+
+        def lower(*args, **kw):
+            with kernel_batch_sharding(mesh):
+                return jit_fn.lower(*args, **kw)
+
+        wrapped.lower = lower
+        return wrapped
+
     def _get_step_fn(self, kind, index, n_chunks=1):
         key = (kind, index, n_chunks)
         if key not in self._step_fn_cache:
@@ -725,6 +757,8 @@ class ImagenTrainer:
                 self._step_fn_cache[key] = self._make_grad_step(index, n_chunks)
             elif kind == 'update':
                 self._step_fn_cache[key] = self._make_update_step(index)
+            self._step_fn_cache[key] = self._with_kernel_mesh(
+                self._step_fn_cache[key])
         return self._step_fn_cache[key]
 
     def _prep_batch(self, batch, max_batch_size):
@@ -1059,11 +1093,15 @@ class ImagenTrainer:
 
     # --- checkpointing -------------------------------------------------------------------
 
-    def state_bundle(self, without_optim_and_sched=False):
+    def state_bundle(self, without_optim_and_sched=False, gather=True):
+        """`gather=False` keeps leaves as (possibly sharded) device arrays —
+        used by the orbax backend, which writes shard-by-shard; the default
+        gathers everything to host numpy (msgpack/torch-save semantics)."""
         for i in range(self.num_unets):
             self._ensure_state(i)
+        conv = to_host if gather else (lambda x: x)
         bundle = dict(
-            model=[to_host(p) for p in self.params],
+            model=[conv(p) for p in self.params],
             version=__version__,
             # np.array COPIES: np.asarray would alias the live step counter,
             # silently mutating in-memory bundles (state_dict) as training
@@ -1072,13 +1110,30 @@ class ImagenTrainer:
         )
         if not without_optim_and_sched:
             for i in range(self.num_unets):
-                bundle[f'optim{i}'] = to_host(self.opt_states[i])
+                bundle[f'optim{i}'] = conv(self.opt_states[i])
         if self.use_ema:
-            bundle['ema'] = [to_host(e) for e in self.ema_params]
+            bundle['ema'] = [conv(e) for e in self.ema_params]
         if hasattr(self.imagen, '_config'):
             bundle['imagen_type'] = 'elucidated' if self.is_elucidated else 'original'
             bundle['imagen_params'] = self.imagen._config
         return bundle
+
+    def _abstract_bundle(self, loaded_keys=None):
+        """ShapeDtypeStruct mirror of the live (sharded) bundle: the restore
+        target for the orbax backend — each leaf carries its CURRENT
+        NamedSharding, so restore places shards directly, never materializing
+        a full array on host. `loaded_keys` limits to keys present on disk."""
+        def abstract(x):
+            if isinstance(x, jax.Array):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            return np.asarray(x)
+
+        bundle = self.state_bundle(gather=False)
+        for k in ('version', 'imagen_type', 'imagen_params'):
+            bundle.pop(k, None)
+        if loaded_keys is not None:
+            bundle = {k: v for k, v in bundle.items() if k in loaded_keys}
+        return jax.tree_util.tree_map(abstract, bundle)
 
     def state_dict(self, without_optim_and_sched=False):
         """Alias of `state_bundle` under the reference's name
@@ -1102,7 +1157,22 @@ class ImagenTrainer:
         process builds the bundle — `to_host` on non-fully-addressable arrays
         is a collective gather (process_allgather), so an early return on
         non-zero processes would deadlock process 0 at the collective. Only
-        process 0 touches the filesystem."""
+        process 0 touches the filesystem.
+
+        `checkpoint_backend='orbax'`: the bundle is saved SHARDED (a
+        directory) — each process writes only its addressable shards; no host
+        ever holds the full FSDP/ZeRO state. Also collective on all
+        processes."""
+        if self.checkpoint_backend == 'orbax':
+            from imagen_tpu.utils.orbax_ckpt import save_bundle
+            bundle = {**self.state_bundle(without_optim_and_sched, gather=False),
+                      **kwargs}
+            self._wait_for_pending_save()
+            ckptr = save_bundle(path, bundle, async_save=async_save)
+            if async_save:
+                self._pending_save = ckptr
+            self.print(f'checkpoint saved to {path} (orbax, sharded)')
+            return
         bundle = {**self.state_bundle(without_optim_and_sched), **kwargs}
         if not self.can_checkpoint:
             return
@@ -1126,7 +1196,10 @@ class ImagenTrainer:
     def _wait_for_pending_save(self):
         t = getattr(self, '_pending_save', None)
         if t is not None:
-            t.join()
+            if hasattr(t, 'wait_until_finished'):   # orbax AsyncCheckpointer
+                t.wait_until_finished()
+            else:                                   # msgpack writer thread
+                t.join()
             self._pending_save = None
 
     def load(self, path, only_model=False, strict=True, noop_if_not_exist=False):
@@ -1136,9 +1209,56 @@ class ImagenTrainer:
             return
         assert fs.exists(str(path)), f'{path} does not exist'
 
+        if self.checkpoint_backend == 'orbax':
+            return self._load_orbax(path, only_model=only_model)
+
         loaded = load_obj(fs, path)
         self._restore_bundle(loaded, only_model=only_model, strict=strict)
         self.print(f'checkpoint loaded from {path}')
+        return loaded
+
+    def _load_orbax(self, path, only_model=False):
+        """Sharded restore: each leaf is placed straight onto its mesh shards
+        per the live trainer's placement specs (no full-array host gather).
+        Strict-only — shape/structure mismatch raises; use the msgpack backend
+        for partial resumes after a config change."""
+        from flax import serialization as _ser
+
+        from imagen_tpu.utils.orbax_ckpt import load_bundle, saved_keys
+
+        keys = saved_keys(path)
+        abstract = self._abstract_bundle(loaded_keys=keys)
+        loaded = load_bundle(path, abstract=abstract)
+
+        model_list = loaded['model']
+        for i in range(self.num_unets):
+            # rebuild original containers (dict trees) around the already-
+            # placed sharded arrays; no copies
+            self.params[i] = _ser.from_state_dict(
+                self.params[i], model_list[str(i)]
+                if isinstance(model_list, dict) else model_list[i])
+
+        if only_model:
+            self.print(f'checkpoint loaded from {path} (orbax, model only)')
+            return loaded
+
+        self.steps = np.asarray(loaded['steps'], dtype=np.int64).copy()
+        self._dev_steps.clear()
+
+        for i in range(self.num_unets):
+            key = f'optim{i}'
+            if key in loaded:
+                self.opt_states[i] = _ser.from_state_dict(
+                    self.opt_states[i], loaded[key])
+
+        if self.use_ema and 'ema' in loaded:
+            ema_list = loaded['ema']
+            for i in range(self.num_unets):
+                self.ema_params[i] = _ser.from_state_dict(
+                    self.ema_params[i], ema_list[str(i)]
+                    if isinstance(ema_list, dict) else ema_list[i])
+
+        self.print(f'checkpoint loaded from {path} (orbax, sharded)')
         return loaded
 
     def _restore_bundle(self, loaded, only_model=False, strict=True):
@@ -1228,7 +1348,8 @@ class ImagenTrainer:
         if not self.can_checkpoint or self.max_checkpoints_keep <= 0:
             return
         for checkpoint in self.all_checkpoints_sorted[self.max_checkpoints_keep:]:
-            self.fs.rm(checkpoint)
+            # orbax checkpoints are directories
+            self.fs.rm(checkpoint, recursive=self.checkpoint_backend == 'orbax')
 
     def _maybe_checkpoint(self):
         if not exists(self.checkpoint_path):

