@@ -17,6 +17,11 @@ BENCH_MODE selects the config (BASELINE.md):
   video            — Unet3D 16-frame 64px clips/sec
   train_paper      — fused trainer step on BaseUnet64 (+ training MFU)
   train            — fused ImagenTrainer step samples/sec (+ training MFU)
+  train_sr256      — fused trainer step on the paper-preset SRUnet256 (unet 2
+                     of BASELINE config 2: memory_efficient topology, lowres
+                     conditioning path, reference imagen_pytorch.py:1757-1769);
+                     BENCH_CROP=<px> additionally exercises the paired
+                     random-crop p_losses path (reference :2532-2546)
 
 The reference publishes no numbers (BASELINE.md: "published: {}"), so
 vs_baseline is the ratio against OUR prior-round recorded numbers — >1.0 means
@@ -46,7 +51,9 @@ MODE = os.environ.get('BENCH_MODE', 'base64_paper')
 _DEFAULT_BATCH = {'base64': 8, 'base64_paper': 8, 'cascade': 4,
                   'cascade_paper': 4, 'edm': 4, 'edm_paper': 4,
                   'sr1024': 1, 'sr1024_paper': 1,
-                  'video': 1, 'train': 32, 'train_paper': 16}
+                  'video': 1, 'train': 32, 'train_paper': 16,
+                  'train_sr256': 4}
+BENCH_CROP = int(os.environ.get('BENCH_CROP', 0))
 BATCH = int(os.environ.get('BENCH_BATCH', 0)) or _DEFAULT_BATCH.get(MODE, 8)
 VIDEO_FRAMES = int(os.environ.get('BENCH_VIDEO_FRAMES', 16))
 
@@ -68,6 +75,7 @@ ROUND_BASE = {
     'sr1024_paper': 0.0872,   # r04 END images/sec/chip @ batch 1 (Pallas conv wired)
     'edm_paper': 0.437,       # r03 images/sec/chip @ batch 4
     'train_paper': None,
+    'train_sr256': None,      # first measured in round 5
 }
 # round-2 MFU of the matching scaled path: the FLOPs-normalized baseline for
 # the *_paper modes (see docstring)
@@ -83,12 +91,26 @@ def build_imagen(remat=None):
 
     common = dict(text_embed_dim=768, max_text_len=256, dtype=jnp.bfloat16)
 
-    if MODE.endswith('_paper'):
+    if MODE.endswith('_paper') or MODE == 'train_sr256':
         # TRUE paper presets (reference imagen_pytorch.py:1743-1783)
         # selective remat: keep conv/attn/FF outputs, recompute only the cheap
         # elementwise (full remat re-ran the whole forward: ~20% of the step)
         if remat is None:
-            remat = 'save_convs' if MODE == 'train_paper' else False
+            remat = 'save_convs' if MODE in ('train_paper', 'train_sr256') \
+                else False
+        if MODE == 'train_sr256':
+            # BASELINE config 2's TRAINING half, unet 2: paper-preset SRUnet256
+            # (memory_efficient, reference imagen_pytorch.py:1757-1769) with
+            # the lowres-conditioning loss path; NullUnet placeholder stage 1.
+            # BENCH_CROP=<px> turns on the paired random crop (p_losses
+            # reference :2532-2546 — used by SR-unet training on crops).
+            from imagen_tpu.models.unet2d import NullUnet
+            crops = (None, BENCH_CROP) if BENCH_CROP else None
+            return Imagen(
+                unets=(NullUnet(), SRUnet256(**common, remat=remat)),
+                image_sizes=(64, 256), text_embed_dim=768,
+                timesteps=(TIMESTEPS, TIMESTEPS // 2),
+                random_crop_sizes=crops, cond_drop_prob=0.1)
         base = BaseUnet64(**common, remat=remat)
         if MODE in ('base64_paper', 'train_paper'):
             return Imagen(
@@ -275,10 +297,11 @@ _MODEL_DESC = {
     'sr1024_paper': 'SRUnet1024 (paper preset)',
     'edm_paper': 'EDM BaseUnet64 + SRUnet256 (paper presets)',
     'train_paper': 'BaseUnet64 (dim 512, paper preset)',
+    'train_sr256': 'SRUnet256 (paper preset, memory_efficient, lowres cond)',
 }
 
 
-def _train_step_flops(trainer_kwargs, batch):
+def _train_step_flops(trainer_kwargs, batch, unet_number=1):
     """XLA cost-analysis FLOPs of one fused train step, from an ABSTRACT
     lowering (ShapeDtypeStruct args — nothing is allocated on device, so this
     is safe to run before/alongside the real paper-scale state). Built WITHOUT
@@ -289,15 +312,17 @@ def _train_step_flops(trainer_kwargs, batch):
     try:
         tr = ImagenTrainer(imagen=build_imagen(remat=False), verbose=False,
                            **trainer_kwargs)
+        index = unet_number - 1
         variables = jax.eval_shape(
-            lambda: tr.imagen.init_unet_params(1, jax.random.PRNGKey(0)))
-        opt_state = jax.eval_shape(tr._optimizers[0].init, variables)
+            lambda: tr.imagen.init_unet_params(unet_number,
+                                               jax.random.PRNGKey(0)))
+        opt_state = jax.eval_shape(tr._optimizers[index].init, variables)
         ema = variables if tr.use_ema else None
         abstract = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
             (variables, opt_state, ema,
              jnp.asarray(0), batch, jax.random.PRNGKey(0)))
-        step_fn = tr._get_step_fn('train', 0, 1)
+        step_fn = tr._get_step_fn('train', index, 1)
         ca = step_fn.lower(*abstract).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
         return float(ca['flops'])
@@ -321,32 +346,42 @@ def main_train():
     from imagen_tpu.trainer import ImagenTrainer
 
     paper = MODE == 'train_paper'
+    sr = MODE == 'train_sr256'
+    unet_number = 2 if sr else 1
+    image_size = 256 if sr else 64
     # sync_loss=False: the device loss comes back as an async array so steps
     # pipeline — blocking on float(loss) every step left the chip 57% idle
     # over the tunnel transport (profiled)
     trainer_kwargs = dict(lr=1e-4, sync_loss=False)
     if paper:
         trainer_kwargs.update(optimizer='adafactor', beta1=None, use_ema=False)
+    elif sr:
+        # Adam fits: SRUnet256 is ~690M params, not the 1.57B base unet
+        trainer_kwargs.update(use_ema=False,
+                              only_train_unet_number=unet_number)
     else:
         trainer_kwargs.update(use_ema=True, ema_update_after_step=0,
                               ema_update_every=1)
 
     rng = np.random.RandomState(0)
     batch = {
-        'images': jnp.asarray(rng.rand(BATCH, 64, 64, 3), jnp.float32),
+        'images': jnp.asarray(rng.rand(BATCH, image_size, image_size, 3),
+                              jnp.float32),
         'text_embeds': jnp.asarray(rng.randn(BATCH, 256, 768), jnp.float32),
         'text_masks': jnp.ones((BATCH, 256), bool),
     }
 
     # abstract FLOPs lowering first — allocates nothing
-    flops = _train_step_flops(dict(trainer_kwargs, sync_loss=True), batch)
+    flops = _train_step_flops(dict(trainer_kwargs, sync_loss=True), batch,
+                              unet_number=unet_number)
 
     trainer = ImagenTrainer(imagen=build_imagen(), **trainer_kwargs)
 
     def run_n(n):
         loss = None
         for _ in range(n):
-            loss = trainer.step_with_batch(dict(batch), unet_number=1)
+            loss = trainer.step_with_batch(dict(batch),
+                                           unet_number=unet_number)
         return float(loss)  # one sync at the end of the window
 
     run_n(2)  # compile + warm
@@ -374,7 +409,7 @@ def main_train():
         baseline_note = 'first measurement of this mode'
 
     print(json.dumps({
-        'metric': ('train_paper_steps_per_sec' if MODE == 'train_paper'
+        'metric': (f'{MODE}_steps_per_sec' if MODE != 'train'
                    else 'train_steps_per_sec'),
         'value': round(steps_per_sec, 4),
         'unit': 'steps/sec',
@@ -481,4 +516,4 @@ def main():
 
 
 if __name__ == '__main__':
-    main_train() if MODE in ('train', 'train_paper') else main()
+    main_train() if MODE in ('train', 'train_paper', 'train_sr256') else main()

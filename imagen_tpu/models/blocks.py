@@ -15,6 +15,7 @@ Capability parity with the reference block layer
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -63,14 +64,37 @@ class LayerNorm(nn.Module):
 
 
 class ChanRMSNorm(nn.Module):
-    """Channel RMSNorm; reference imagen_pytorch.py:322-329 (NHWC: trailing axis)."""
+    """Channel RMSNorm; reference imagen_pytorch.py:322-329 (NHWC: trailing axis).
+
+    With `scale_shift`/`fuse_silu`, also applies the FiLM + SiLU that always
+    follow it in Block — and, under `IMAGEN_TPU_FUSED_FILM=1`, routes the whole
+    norm→FiLM→SiLU chain through one Pallas pass (ops/fused_norm.py). Param
+    tree ('gamma') is identical either way."""
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, scale_shift=None, fuse_silu=False):
         dim = x.shape[-1]
         gamma = self.param('gamma', nn.initializers.ones, (dim,), jnp.float32)
-        return l2norm(x, axis=-1) * (dim ** 0.5) * gamma.astype(x.dtype)
+        if (fuse_silu and x.ndim == 4
+                and os.environ.get('IMAGEN_TPU_FUSED_FILM', '0') == '1'):
+            from imagen_tpu.ops.fused_norm import fused_film_norm
+            b = x.shape[0]
+            if scale_shift is not None:
+                scale, shift = scale_shift
+                scale = scale.reshape(b, dim)
+                shift = shift.reshape(b, dim)
+            else:
+                scale = jnp.zeros((b, dim), x.dtype)
+                shift = jnp.zeros((b, dim), x.dtype)
+            return fused_film_norm(x, gamma, scale, shift)
+        out = l2norm(x, axis=-1) * (dim ** 0.5) * gamma.astype(x.dtype)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            out = out * (scale + 1) + shift
+        if fuse_silu:
+            out = jax.nn.silu(out)
+        return out
 
 
 class TorchLayerNorm(nn.Module):
@@ -434,13 +458,16 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, scale_shift=None):
         if self.norm:
-            x = ChanRMSNorm(dtype=self.dtype)(x)
-
-        if exists(scale_shift):
-            scale, shift = scale_shift
-            x = x * (scale + 1) + shift
-
-        x = jax.nn.silu(x)
+            # norm+FiLM+SiLU in one call — identical math to the separate
+            # steps; IMAGEN_TPU_FUSED_FILM=1 additionally fuses the chain
+            # into one Pallas pass (A/B flag, see ChanRMSNorm)
+            x = ChanRMSNorm(dtype=self.dtype)(
+                x, scale_shift=scale_shift, fuse_silu=True)
+        else:
+            if exists(scale_shift):
+                scale, shift = scale_shift
+                x = x * (scale + 1) + shift
+            x = jax.nn.silu(x)
         x = SameConv3x3(self.dim_out, dtype=self.dtype, name='project')(x)
         # named for the selective-remat policy (unet2d remat='save_convs'):
         # the 3x3 convs are the FLOPs — save their outputs, recompute the

@@ -20,6 +20,7 @@ Capability parity with the reference imagen_video.py block layer
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -201,6 +202,27 @@ class DynamicPositionBias(nn.Module):
         return rearrange(bias, 'i j h -> h i j')
 
 
+class _EinsumProj(nn.Module):
+    """Bias-free projection with a layout-permuting einsum.
+
+    Param tree and init are IDENTICAL to `nn.Dense(features, use_bias=False)`
+    ({'kernel': (cin, features)}, lecun-normal), so checkpoints/weight-ports
+    are unaffected — only the output LAYOUT differs: the einsum spec makes the
+    matmul epilogue write the permuted layout directly, so no standalone HBM
+    transpose pass runs (the reference's RearrangeTimeCentric,
+    imagen_video.py:257-270, is a real relayout on TPU)."""
+    features: int
+    eq: str
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+        return jnp.einsum(self.eq, x, kernel)
+
+
 class VideoAttention(nn.Module):
     """Multi-query attention with optional causality, relative position bias, null
     attention-bias token, and zero-init output norm.
@@ -224,15 +246,35 @@ class VideoAttention(nn.Module):
     def __call__(self, x, context=None, mask=None, attn_bias=None):
         import imagen_tpu.ops.flash_attention as fa
 
-        b, n = x.shape[0], x.shape[1]
+        video = x.ndim == 5                 # native (b, f, h, w, c) layout
+        if video:
+            assert not (exists(context) or exists(mask)), \
+                'native-layout input is the per-pixel temporal case only'
+            b0, n, hh, ww = x.shape[0], x.shape[1], x.shape[2], x.shape[3]
+            b = b0 * hh * ww
+        else:
+            b, n = x.shape[0], x.shape[1]
         dim = x.shape[-1]
         inner_dim = self.dim_head * self.heads
 
         x = LayerNorm(dtype=self.dtype)(x)
 
-        q = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype, name='to_q')(x)
-        kv = nn.Dense(self.dim_head * 2, use_bias=False, dtype=self.dtype,
-                      name='to_kv')(x)
+        if video:
+            # Transposing projections: q/kv matmuls emit the time-centric
+            # (b h w) f e layout directly and to_out writes NFHWC back, so no
+            # standalone HBM relayout brackets the attention (measured:
+            # tools/microbench_video_layout.py). Param trees match nn.Dense.
+            q = _EinsumProj(inner_dim, 'bfhwc,ce->bhwfe', dtype=self.dtype,
+                            name='to_q')(x)
+            kv = _EinsumProj(self.dim_head * 2, 'bfhwc,ce->bhwfe',
+                             dtype=self.dtype, name='to_kv')(x)
+            q = q.reshape(b, n, inner_dim)
+            kv = kv.reshape(b, n, self.dim_head * 2)
+        else:
+            q = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype,
+                         name='to_q')(x)
+            kv = nn.Dense(self.dim_head * 2, use_bias=False, dtype=self.dtype,
+                          name='to_kv')(x)
         k, v = jnp.split(kv, 2, axis=-1)
 
         null_kv = self.param('null_kv', nn.initializers.normal(1.0),
@@ -351,7 +393,13 @@ class VideoAttention(nn.Module):
             attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(sim.dtype)
             out = jnp.einsum('bhij,bjd->bhid', attn, v)
             out = rearrange(out, 'b h n d -> b n (h d)')
-        out = nn.Dense(dim, use_bias=False, dtype=self.dtype, name='to_out')(out)
+        if video:
+            out = out.reshape(b0, hh, ww, n, inner_dim)
+            out = _EinsumProj(dim, 'bhwfe,ec->bfhwc', dtype=self.dtype,
+                              name='to_out')(out)
+        else:
+            out = nn.Dense(dim, use_bias=False, dtype=self.dtype,
+                           name='to_out')(out)
 
         g_init = nn.initializers.zeros if self.init_zero else nn.initializers.ones
         # out norm with configurable-init gain (init_zero makes the residual branch
@@ -375,13 +423,22 @@ class TemporalAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h, w = x.shape[2], x.shape[3]
-        xt = rearrange(x, 'b f h w c -> (b h w) f c')
-        out = VideoAttention(
+        attn = VideoAttention(
             dim_head=self.dim_head, heads=self.heads, causal=self.causal,
             init_zero=True, rel_pos_bias=True,
             rel_pos_bias_mlp_depth=self.rel_pos_bias_mlp_depth,
-            dtype=self.dtype, name='attn')(xt) + xt
+            dtype=self.dtype, name='attn')
+        if os.environ.get('IMAGEN_TPU_TEMPORAL_EINSUM', '0') == '1':
+            # native-layout path: the attention's transposing projections
+            # absorb the time-centric relayout. MEASURED NEGATIVE end-to-end
+            # (round 5): 0.729 vs 0.930 clips/s — the permuted einsum epilogue
+            # slows the 8x-LARGER q/kv projection writes (inner=512) far more
+            # than the explicit transpose of the small c-dim tensor costs.
+            # Kept opt-in as a receipt; see tools/microbench_video_layout.py.
+            return attn(x) + x
+        h, w = x.shape[2], x.shape[3]
+        xt = rearrange(x, 'b f h w c -> (b h w) f c')
+        out = attn(xt) + xt
         return rearrange(out, '(b h w) f c -> b f h w c', h=h, w=w)
 
 

@@ -130,3 +130,30 @@ class TestFusedFeedForward:
         assert set(leaves) == {'LayerNorm_0', 'Dense_0', 'LayerNorm_1', 'Dense_1'}
         assert leaves['Dense_0']['kernel'].shape == (128, 256)
         assert leaves['LayerNorm_1']['g'].shape == (256,)
+
+
+class TestFusedFilmWiring:
+    def test_block_fused_film_flag_matches_default(self, monkeypatch):
+        """IMAGEN_TPU_FUSED_FILM=1 routes Block's norm->FiLM->SiLU through
+        fused_film_norm; outputs must match the default chain within bf16
+        tolerance, with and without a scale_shift."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from imagen_tpu.models.blocks import Block
+
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 128),
+                              jnp.bfloat16)
+        ss = (jax.random.normal(jax.random.PRNGKey(2), (2, 1, 1, 128),
+                                jnp.bfloat16),
+              jax.random.normal(jax.random.PRNGKey(3), (2, 1, 1, 128),
+                                jnp.bfloat16))
+        m = Block(dim_out=128, dtype=jnp.bfloat16)
+        p = m.init(jax.random.PRNGKey(0), x, ss)
+
+        for args in ((x, ss), (x,)):
+            monkeypatch.setenv('IMAGEN_TPU_FUSED_FILM', '0')
+            y0 = np.asarray(m.apply(p, *args), np.float32)
+            monkeypatch.setenv('IMAGEN_TPU_FUSED_FILM', '1')
+            y1 = np.asarray(m.apply(p, *args), np.float32)
+            np.testing.assert_allclose(y1, y0, atol=0.06, rtol=0.06)

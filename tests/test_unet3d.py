@@ -203,3 +203,26 @@ def test_time_rel_pos_bias_depth_threads_through():
     assert names_d4 > names_d2  # deeper MLP adds layers
     assert any('mlp_2' in n for n in names_d4)
     assert not any('mlp_2' in n for n in names_d2)
+
+
+def test_temporal_attention_einsum_path_equivalence(monkeypatch):
+    """The opt-in native-layout (transposing-einsum) TemporalAttention path
+    must be numerically identical to the wired rearrange path, with an
+    identical param tree (measured-negative perf variant kept as a receipt —
+    BENCH.md round 5)."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8, 8, 16), jnp.float32)
+    m = vb.TemporalAttention(dim_head=4, heads=2, dtype=jnp.float32)
+
+    monkeypatch.setenv('IMAGEN_TPU_TEMPORAL_EINSUM', '0')
+    p_old = m.init(jax.random.PRNGKey(0), x)
+    y_old = m.apply(p_old, x)
+
+    monkeypatch.setenv('IMAGEN_TPU_TEMPORAL_EINSUM', '1')
+    p_new = m.init(jax.random.PRNGKey(0), x)
+    y_new = m.apply(p_new, x)
+
+    shapes_old = jax.tree_util.tree_map(lambda a: a.shape, p_old)
+    shapes_new = jax.tree_util.tree_map(lambda a: a.shape, p_new)
+    assert shapes_old == shapes_new
+    np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_old),
+                               atol=2e-5, rtol=2e-5)

@@ -2,7 +2,7 @@
 print the top self-time ops (same xprof framework_op_stats parser as
 profile_sampler).
 
-Usage: [BENCH_MODE=train|train_paper] python tools/profile_trainer.py [trace_dir]
+Usage: [BENCH_MODE=train|train_paper|train_sr256] python tools/profile_trainer.py [trace_dir]
 
 The receipt generator behind BENCH.md's training "where the time goes" table
 (round-2 verdict: the sampler had a per-op profile, the training step — the
@@ -26,9 +26,15 @@ def capture(trace_dir):
     from imagen_tpu.trainer import ImagenTrainer
 
     paper = bench.MODE == 'train_paper'
+    sr = bench.MODE == 'train_sr256'
+    unet_number = 2 if sr else 1
+    image_size = 256 if sr else 64
     trainer_kwargs = dict(lr=1e-4, sync_loss=False)
     if paper:
         trainer_kwargs.update(optimizer='adafactor', beta1=None, use_ema=False)
+    elif sr:
+        trainer_kwargs.update(use_ema=False,
+                              only_train_unet_number=unet_number)
     else:
         trainer_kwargs.update(use_ema=True, ema_update_after_step=0,
                               ema_update_every=1)
@@ -36,7 +42,8 @@ def capture(trace_dir):
 
     rng = np.random.RandomState(0)
     batch = {
-        'images': jnp.asarray(rng.rand(bench.BATCH, 64, 64, 3), jnp.float32),
+        'images': jnp.asarray(
+            rng.rand(bench.BATCH, image_size, image_size, 3), jnp.float32),
         'text_embeds': jnp.asarray(
             rng.randn(bench.BATCH, 256, 768), jnp.float32),
         'text_masks': jnp.ones((bench.BATCH, 256), bool),
@@ -45,7 +52,8 @@ def capture(trace_dir):
     def run_n(n):
         loss = None
         for _ in range(n):
-            loss = trainer.step_with_batch(dict(batch), unet_number=1)
+            loss = trainer.step_with_batch(dict(batch),
+                                           unet_number=unet_number)
         return float(loss)
 
     run_n(2)   # compile + warm
