@@ -16,10 +16,18 @@ MEASURED (v5e bf16, isolated chained loops; round 4):
     (2,64,64,1024)->1024       2.14     2.00   (1.07x)
     (16,64,64,512)->512        3.08     3.27   (0.94x)
 
-Verdict (round 4, revised): WIRED via `blocks.SameConv3x3` on exactly the
-winning shapes (>=128 cin AND cout, 128^2-512^2 spatial; gate in
-blocks.py; `IMAGEN_TPU_PALLAS_CONV=0` disables). End-to-end A/B on the full
-sr1024_paper sampler: **13.90 -> 11.47 s/img (1.213x, MFU 30.9 -> 37.5)** —
+Round-5 addition: the previously unmeasured FULL-RES 1024^2 classes also
+win — (2,1024,1024,128)->128: 9.18 vs 8.33 ms (1.10x), (2,1024,1024,256)
+->128: 17.31 vs 14.26 ms (1.21x) (tools/microbench_conv.py) — so the gate
+extends to 1024^2 spatial. Same-day end-to-end A/B: 11.485 s/img (r4 gate,
+`IMAGEN_TPU_PALLAS_CONV_MAXHW=512`) -> **10.203 s/img (1.126x, MFU
+37.4 -> 42.1)** with the extended gate.
+
+Verdict (round 4, revised round 5): WIRED via `blocks.SameConv3x3` on
+exactly the winning shapes (>=128 cin AND cout, 128^2-1024^2 spatial; gate
+in conv2d_same_available; `IMAGEN_TPU_PALLAS_CONV=0` disables). Round-4
+end-to-end A/B on the full sr1024_paper sampler:
+**13.90 -> 11.47 s/img (1.213x, MFU 30.9 -> 37.5)** —
 the in-situ win beats the isolated 1.05-1.38x because the opaque
 custom-call boundary stops XLA from fusing 537 MB elementwise producers
 into its conv loops (they compile into their own dense ~600 GB/s fusions
@@ -153,8 +161,12 @@ def conv2d_same_available(x_shape, w_shape, dtype):
         return False
     if _pick_blocks(H, W, cin, cout, kh, dtype_itemsize(dtype)) is None:
         return False
-    # measured win surface (v5e, header table): mid-res big-channel only
-    return (cout >= 128 and 128 * 128 <= H * W <= 512 * 512)
+    # measured win surface (v5e): mid-res big-channel (r4 header table) PLUS
+    # the full-res 1024^2 classes (r5 tools/microbench_conv.py — 128->128
+    # 1.10x, 256->128 1.21x; the r4 gate stopped at 512^2 unmeasured).
+    # IMAGEN_TPU_PALLAS_CONV_MAXHW=512 reproduces the r4 gate (A/B knob).
+    max_hw = int(os.environ.get('IMAGEN_TPU_PALLAS_CONV_MAXHW', '1024'))
+    return (cout >= 128 and 128 * 128 <= H * W <= max_hw * max_hw)
 
 
 def _forward(x, w, b, interpret=False):
