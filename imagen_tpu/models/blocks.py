@@ -48,9 +48,18 @@ class LayerNorm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, time_fold=False):
         dtype = x.dtype
         g = self.param('g', nn.initializers.ones, (x.shape[-1],), jnp.float32)
+
+        if time_fold:
+            # fused LN + (b f h w c) -> ((b h w) f c) relayout in one Pallas
+            # pass (ops/temporal_layout.py); math identical to this module
+            # followed by the rearrange. Video temporal path only.
+            assert x.ndim == 5 and not self.stable
+            from imagen_tpu.ops.temporal_layout import fused_ln_transpose
+            eps = 1e-5 if dtype == jnp.float32 else 1e-3
+            return fused_ln_transpose(x, g, eps)
 
         if self.stable:
             x = x / jax.lax.stop_gradient(
@@ -76,8 +85,12 @@ class ChanRMSNorm(nn.Module):
     def __call__(self, x, scale_shift=None, fuse_silu=False):
         dim = x.shape[-1]
         gamma = self.param('gamma', nn.initializers.ones, (dim,), jnp.float32)
-        if (fuse_silu and x.ndim == 4
+        if (fuse_silu and x.ndim == 4 and dim % 128 == 0
                 and os.environ.get('IMAGEN_TPU_FUSED_FILM', '0') == '1'):
+            # dim%128: at c=64 (video dim-64 blocks) the fused kernel WEDGES
+            # the v5e — the bench warmup dispatches and the first device sync
+            # never returns (reproduced twice, round 5); c>=128 shapes run
+            # fine (SR A/B: 10.20 -> 11.93 s/img, refuted on merit instead)
             from imagen_tpu.ops.fused_norm import fused_film_norm
             b = x.shape[0]
             if scale_shift is not None:

@@ -243,7 +243,8 @@ class VideoAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, mask=None, attn_bias=None):
+    def __call__(self, x, context=None, mask=None, attn_bias=None,
+                 fused_ln=False):
         import imagen_tpu.ops.flash_attention as fa
 
         video = x.ndim == 5                 # native (b, f, h, w, c) layout
@@ -257,7 +258,12 @@ class VideoAttention(nn.Module):
         dim = x.shape[-1]
         inner_dim = self.dim_head * self.heads
 
-        x = LayerNorm(dtype=self.dtype)(x)
+        x_native = x if (video and fused_ln) else None
+        # with fused_ln the norm itself performs the fold to ((b h w) f c) —
+        # one Pallas pass instead of transpose + norm (ops/temporal_layout)
+        x = LayerNorm(dtype=self.dtype)(x, time_fold=video and fused_ln)
+        if video and fused_ln:
+            video = False   # downstream runs the standard rows path on 3D x
 
         if video:
             # Transposing projections: q/kv matmuls emit the time-centric
@@ -407,6 +413,12 @@ class VideoAttention(nn.Module):
         dtype = out.dtype
         g = self.param('out_norm_g', g_init, (dim,), jnp.float32)
         eps = 1e-5 if dtype == jnp.float32 else 1e-3
+        if x_native is not None:
+            # fused out-norm + unfold-to-native + temporal residual in one
+            # Pallas pass (ops/temporal_layout.py) — the residual is folded
+            # here, so the caller must NOT add it again
+            from imagen_tpu.ops.temporal_layout import fused_norm_untranspose
+            return fused_norm_untranspose(out, x_native, g, eps)
         var = jnp.var(out, axis=-1, keepdims=True)
         mean = jnp.mean(out, axis=-1, keepdims=True)
         return (out - mean) * jax.lax.rsqrt(var + eps).astype(dtype) * g.astype(dtype)
@@ -428,6 +440,13 @@ class TemporalAttention(nn.Module):
             init_zero=True, rel_pos_bias=True,
             rel_pos_bias_mlp_depth=self.rel_pos_bias_mlp_depth,
             dtype=self.dtype, name='attn')
+        if os.environ.get('IMAGEN_TPU_TEMPORAL_FUSED_LN', '0') == '1':
+            from imagen_tpu.ops import temporal_layout as tl
+            if tl.available(x.shape):
+                # LN and out-norm each fused with their relayout
+                # (ops/temporal_layout.py); the temporal residual is folded
+                # into the out kernel — no add here
+                return attn(x, fused_ln=True)
         if os.environ.get('IMAGEN_TPU_TEMPORAL_EINSUM', '0') == '1':
             # native-layout path: the attention's transposing projections
             # absorb the time-centric relayout. MEASURED NEGATIVE end-to-end

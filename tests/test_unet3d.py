@@ -226,3 +226,32 @@ def test_temporal_attention_einsum_path_equivalence(monkeypatch):
     assert shapes_old == shapes_new
     np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_old),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_temporal_fused_ln_path_equivalence(monkeypatch):
+    """IMAGEN_TPU_TEMPORAL_FUSED_LN=1 fuses the temporal LayerNorm/out-norm
+    with their relayouts (ops/temporal_layout.py). Outputs AND grads must
+    match the wired path exactly (backward recomputes via the XLA reference
+    chain), with an identical param tree."""
+    import imagen_tpu.ops.temporal_layout as tl
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8, 8, 64),
+                          jnp.float32)
+    m = vb.TemporalAttention(dim_head=4, heads=2, dtype=jnp.float32)
+    monkeypatch.setenv('IMAGEN_TPU_TEMPORAL_FUSED_LN', '0')
+    p = m.init(jax.random.PRNGKey(0), x)
+    y0 = m.apply(p, x)
+    g0 = jax.grad(lambda p_: jnp.sum(m.apply(p_, x) ** 2))(p)
+
+    monkeypatch.setattr(tl, '_INTERPRET', True)
+    monkeypatch.setenv('IMAGEN_TPU_TEMPORAL_FUSED_LN', '1')
+    p1 = m.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_map(lambda a: a.shape, p)
+            == jax.tree_util.tree_map(lambda a: a.shape, p1))
+    y1 = m.apply(p, x)
+    g1 = jax.grad(lambda p_: jnp.sum(m.apply(p_, x) ** 2))(p)
+
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
