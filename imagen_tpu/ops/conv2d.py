@@ -16,16 +16,22 @@ MEASURED (v5e bf16, isolated chained loops; round 4):
     (2,64,64,1024)->1024       2.14     2.00   (1.07x)
     (16,64,64,512)->512        3.08     3.27   (0.94x)
 
-Round-5 addition: the previously unmeasured FULL-RES 1024^2 classes also
-win — (2,1024,1024,128)->128: 9.18 vs 8.33 ms (1.10x), (2,1024,1024,256)
-->128: 17.31 vs 14.26 ms (1.21x) (tools/microbench_conv.py) — so the gate
-extends to 1024^2 spatial. Same-day end-to-end A/B: 11.485 s/img (r4 gate,
-`IMAGEN_TPU_PALLAS_CONV_MAXHW=512`) -> **10.203 s/img (1.126x, MFU
-37.4 -> 42.1)** with the extended gate.
+Round-5 additions: (a) the previously unmeasured FULL-RES 1024^2 classes
+also win — (2,1024,1024,128)->128: 9.18 vs 8.33 ms (1.10x), (2,1024,1024,
+256)->128: 17.31 vs 14.26 ms (1.21x) (tools/microbench_conv.py) — so the
+gate extends to 1024^2 spatial; same-day end-to-end A/B 11.485 ->
+**10.203 s/img (1.126x)**. (b) the DEEP 64^2 big-cin classes (SRUnet1024's
+mid level: 31x 1024->1024 + 9x 2048->1024 convs/step) ran IN-SITU at 51
+TF/s vs 94 isolated — XLA fuses their 1024-ch norm/SiLU producers into the
+conv loops; the kernel wins 1.07x isolated at 1024-cin and **1.54x** at
+2048-cin via two half-cin calls summed (`_tiles_with_split`; exact — conv
+is linear in cin). Same-day A/B: 10.203 -> **8.883 s/img (1.149x, MFU
+42.1 -> 48.4)**; `IMAGEN_TPU_PALLAS_CONV_DEEP=0` is the off arm.
 
 Verdict (round 4, revised round 5): WIRED via `blocks.SameConv3x3` on
-exactly the winning shapes (>=128 cin AND cout, 128^2-1024^2 spatial; gate
-in conv2d_same_available; `IMAGEN_TPU_PALLAS_CONV=0` disables). Round-4
+exactly the winning shapes (>=128 cin AND cout, 128^2-1024^2 spatial, plus
+64^2 with cin>=1024; gate in conv2d_same_available;
+`IMAGEN_TPU_PALLAS_CONV=0` disables). Round-4
 end-to-end A/B on the full sr1024_paper sampler:
 **13.90 -> 11.47 s/img (1.213x, MFU 30.9 -> 37.5)** —
 the in-situ win beats the isolated 1.05-1.38x because the opaque
@@ -136,6 +142,18 @@ def _pick_blocks(H, W, cin, cout, k, dtype_bytes):
     return None
 
 
+def _tiles_with_split(H, W, cin, cout, k, itemsize):
+    """True if the kernel tiles at cin, or at some halving of cin >= 512
+    (conv2d_same then runs the halves as separate kernel calls and sums —
+    exact: a stride-1 conv is linear in cin)."""
+    while True:
+        if _pick_blocks(H, W, cin, cout, k, itemsize) is not None:
+            return True
+        if cin % 2 or cin < 1024:
+            return False
+        cin //= 2
+
+
 def conv2d_same_available(x_shape, w_shape, dtype):
     """Shape/backend gate for the models' 3x3-conv dispatch (blocks.SameConv3x3).
 
@@ -157,16 +175,25 @@ def conv2d_same_available(x_shape, w_shape, dtype):
     kh, kw, wcin, cout = w_shape
     if kh != kw or kh % 2 == 0 or wcin != cin:
         return False
-    if cin % 128 != 0 or W % 128 != 0 or H % 8 != 0:
+    if cin % 128 != 0 or W % 64 != 0 or H % 8 != 0:
         return False
-    if _pick_blocks(H, W, cin, cout, kh, dtype_itemsize(dtype)) is None:
+    if not _tiles_with_split(H, W, cin, cout, kh, dtype_itemsize(dtype)):
         return False
     # measured win surface (v5e): mid-res big-channel (r4 header table) PLUS
     # the full-res 1024^2 classes (r5 tools/microbench_conv.py — 128->128
-    # 1.10x, 256->128 1.21x; the r4 gate stopped at 512^2 unmeasured).
-    # IMAGEN_TPU_PALLAS_CONV_MAXHW=512 reproduces the r4 gate (A/B knob).
+    # 1.10x, 256->128 1.21x; the r4 gate stopped at 512^2 unmeasured) PLUS
+    # the deep 64^2 big-cin classes (r5: 1024->1024 isolated 1.09x while the
+    # IN-SITU XLA conv runs at 51 TF/s vs 94 isolated — producer fusions
+    # poison XLA's deep-conv loops exactly as they did the full-res class;
+    # 2048-cin runs as two cin-split kernel calls). The small-cin 64^2
+    # base-64 classes stay excluded (measured 0.87-0.94x in r4).
+    # IMAGEN_TPU_PALLAS_CONV_MAXHW=512 reproduces the r4 gate (A/B knob);
+    # IMAGEN_TPU_PALLAS_CONV_DEEP=0 disables the 64^2 big-cin extension.
     max_hw = int(os.environ.get('IMAGEN_TPU_PALLAS_CONV_MAXHW', '1024'))
-    return (cout >= 128 and 128 * 128 <= H * W <= max_hw * max_hw)
+    if 128 * 128 <= H * W <= max_hw * max_hw and cout >= 128:
+        return True
+    return (os.environ.get('IMAGEN_TPU_PALLAS_CONV_DEEP', '1') == '1'
+            and H * W == 64 * 64 and cin >= 1024 and cout >= 128)
 
 
 def _forward(x, w, b, interpret=False):
@@ -242,8 +269,20 @@ def conv2d_same(x, w, b):
     `conv2d_same_available(x.shape, w.shape, x.dtype)` is True. Under an
     active kernel mesh (parallel.kernel_sharding) the call shard_maps over
     the image-batch axis so GSPMD never replicates the activations around the
-    opaque kernel; weight/bias cotangents are psum'd across the axis."""
+    opaque kernel; weight/bias cotangents are psum'd across the axis.
+
+    cin too big for one VMEM tiling (the SRUnet1024 2048-cin skip-concat
+    convs) splits into two half-cin kernel calls summed — exact, since a
+    stride-1 conv is linear in cin; the extra output round trip is ~0.1 ms
+    at the 64^2 shapes this serves."""
     from imagen_tpu.parallel.kernel_sharding import shard_over_batch
+    _, H, W, cin = x.shape
+    k, _, _, cout = w.shape
+    if _pick_blocks(H, W, cin, cout, k, x.dtype.itemsize) is None:
+        assert cin % 2 == 0, (x.shape, w.shape)
+        h = cin // 2
+        y = conv2d_same(x[..., :h], w[:, :, :h, :], b)
+        return y + conv2d_same(x[..., h:], w[:, :, h:, :], None)
     if b is None:
         return shard_over_batch(lambda x, w: _conv2d_same_cv(x, w, None),
                                 (x, w), (True, False))

@@ -1,8 +1,9 @@
 """Pallas halo-DMA conv kernels (ops/conv2d.py) vs the XLA reference.
 
-The kernels are measured negatives (unwired — see the module docstring), but
-they stay exactness-tested so the halo-DMA pattern remains a trustworthy
-reference for future tuning.
+The NHWC kernel is WIRED on its measured win surface (blocks.SameConv3x3
+gate: mid-res big-channel, full-res 1024^2, and deep 64^2 big-cin classes —
+BENCH.md); the cf tiny-Cout variant stays a tested negative. Exactness
+covers forward, grads, the availability envelope, and the cin-split path.
 """
 import jax
 import jax.numpy as jnp
@@ -50,6 +51,46 @@ def test_conv2d_same_cf_matches_xla(shape, cout):
     ref = c2d._xla_reference_cf(x, w, bias)
     out = c2d.conv2d_same_cf(x, w, bias)
     assert jnp.max(jnp.abs(ref - out)) < 1e-3
+
+
+def test_conv2d_same_narrow_width_matches_xla():
+    """W=64 (below one 128-lane tile): the deep SRUnet1024 64^2 classes the
+    round-5 gate extension routes (cin >= 1024). Kernel exactness at the
+    narrow width plus the cin-SPLIT path (cin too big for one VMEM tiling
+    runs as two half-cin kernel calls summed)."""
+    # small-cin stand-in for the narrow-width geometry
+    x = _rand((2, 16, 64, 128), 0, 1.0)
+    w = _rand((3, 3, 128, 128), 1)
+    bias = _rand((128,), 2, 1.0)
+    ref = c2d._xla_reference(x, w, bias)
+    out = c2d.conv2d_same(x, w, bias)
+    assert jnp.max(jnp.abs(ref - out)) < 1e-3
+
+
+def test_conv2d_same_cin_split_matches_xla():
+    """A shape whose FULL cin has no tiling but whose halves do (the
+    2048-cin skip-concat class, scaled down via fp32 itemsize): forward and
+    grads must match XLA through the split+sum path."""
+    H, W, cin, cout = 8, 128, 1024, 512
+    assert c2d._pick_blocks(H, W, cin, cout, 3, 4) is None
+    assert c2d._tiles_with_split(H, W, cin, cout, 3, 4)
+    x = _rand((1, H, W, cin), 0, 1.0)
+    w = _rand((3, 3, cin, cout), 1)
+    bias = _rand((cout,), 2, 1.0)
+    ref = c2d._xla_reference(x, w, bias)
+    out = c2d.conv2d_same(x, w, bias)
+    assert jnp.max(jnp.abs(ref - out)) < 1e-3
+
+    def loss_k(x_, w_, b_):
+        return jnp.sum(c2d.conv2d_same(x_, w_, b_) ** 2)
+
+    def loss_r(x_, w_, b_):
+        return jnp.sum(c2d._xla_reference(x_, w_, b_) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(x, w, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, w, bias)
+    for a, b in zip(gk, gr):
+        assert jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9) < 1e-3
 
 
 def test_conv2d_same_grads_route_through_xla():

@@ -61,14 +61,15 @@ def main():
         bias = jnp.zeros((cout,), jnp.bfloat16)
         t_x = _time(c2d._xla_reference, x, w, bias)
         tiles = c2d._pick_blocks(H, W, cin, cout, 3, 2)
-        if tiles is None:
+        if tiles is None and not c2d._tiles_with_split(H, W, cin, cout, 3, 2):
             print(f'({b},{H},{W},{cin})->{cout}: XLA {t_x:.2f} ms | '
                   f'kernel DOES NOT TILE')
             continue
-        t_p = _time(c2d._conv2d_same_cv, x, w, bias)
+        # conv2d_same routes untileable-at-full-cin shapes via the cin split
+        t_p = _time(c2d.conv2d_same, x, w, bias)
+        blk = f'hb={tiles[0]},cb={tiles[1]}' if tiles else 'cin-split'
         print(f'({b},{H},{W},{cin})->{cout}: XLA {t_x:.2f} ms | '
-              f'pallas {t_p:.2f} ms ({t_x / t_p:.2f}x) [hb={tiles[0]},'
-              f'cb={tiles[1]}]')
+              f'pallas {t_p:.2f} ms ({t_x / t_p:.2f}x) [{blk}]')
 
     for b, H, W, cin, cout in CF_SHAPES:
         x = jax.random.normal(key, (b, H, W, cin), jnp.bfloat16)
