@@ -743,33 +743,14 @@ class CrossEmbedLayer(nn.Module):
         dim_scales = [*dim_scales, self.dim_out - sum(dim_scales)]
 
         c = x.shape[-1]
-        if self.stride == 1:
-            # fused Pallas stem: every scale conv + concat + depth-to-space
-            # in one pass over the image (ops/stem_conv.py) — kills the
-            # three HBM layout passes the phase-tiled XLA path pays
-            from imagen_tpu.ops import stem_conv
-            if stem_conv.stem_available(x.shape, kernel_sizes):
-                ws, bs = [], []
-                for i, (kernel, dim_scale) in enumerate(
-                        zip(kernel_sizes, dim_scales)):
-                    w, bb = _ShuffleConvParams(
-                        (kernel, kernel, c, dim_scale), (dim_scale,),
-                        name=f'conv_{i}')()
-                    ws.append(w.astype(self.dtype))
-                    bs.append(bb)
-                return stem_conv.cross_embed_stem(
-                    x.astype(self.dtype), ws, jnp.concatenate(bs))
         # phase tiling wins in isolation at every measured shape, but at
         # 1024^2 the depth-to-space output layout slows downstream consumers
         # more than the conv saves end-to-end (6.85 vs 6.30 s/image SR tail);
         # at <=512^2 it is a clear net win (cascade 3.97 -> 4.38 img/s)
         big = x.shape[1] * x.shape[2] > 512 * 512
-        # s2d factor: s=2 gives K=s^2*c=24-per-tap contractions (19% MXU
-        # util at c=6); s=4 gives K=96 (75% util) at ~1.9x tap-FLOP
-        # inflation — A/B knob, measured per-resolution (BENCH.md)
-        s = int(os.environ.get('IMAGEN_TPU_STEM_S2D', '2'))
         tiled = (self.stride == 1 and c <= 8 and max(kernel_sizes) % 2 == 1
-                 and x.shape[1] % s == 0 and x.shape[2] % s == 0)
+
+                 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
         if tiled:
             # One shared space-to-depth input padded for the LARGEST kernel;
             # each scale runs its OWN phase-tiled conv over a centered slice
@@ -777,46 +758,33 @@ class CrossEmbedLayer(nn.Module):
             # K_max^2 taps for every scale — ~3x the FLOPs at (3, 7, 15)).
             kmax = max(kernel_sizes)
             pmax = kmax // 2
-            # tail-pad to a multiple of s: the extra rows/cols are touched
-            # only by the phase kernels' ZERO padding taps (verified by the
-            # s2-vs-s4 equivalence test), so output math is unchanged
-            ext = (-(x.shape[1] + 2 * pmax)) % s
             xp = jnp.pad(x.astype(self.dtype),
-                         ((0, 0), (pmax, pmax + ext), (pmax, pmax + ext),
-                          (0, 0)))
-            xs = rearrange(xp, 'b (h s1) (w s2) c -> b h w (s1 s2 c)',
-                           s1=s, s2=s)
+                         ((0, 0), (pmax, pmax), (pmax, pmax), (0, 0)))
+            xs = rearrange(xp, 'b (h s1) (w s2) c -> b h w (s1 s2 c)', s1=2, s2=2)
             ys, bs = [], []
             for i, (kernel, dim_scale) in enumerate(zip(kernel_sizes, dim_scales)):
                 w, b = _ShuffleConvParams(
                     (kernel, kernel, c, dim_scale), (dim_scale,),
                     name=f'conv_{i}')()
-                # the slice below needs (pmax - pad_k) % s == 0: widen the
-                # kernel by zero taps per side when residues differ
-                wp = (pmax - kernel // 2) % s
-                if wp:
-                    w = jnp.pad(w, ((wp, wp), (wp, wp), (0, 0), (0, 0)))
-                wt, _ = _phase_tiled_kernel(w.astype(self.dtype), s)
-                off = (pmax - w.shape[0] // 2) // s  # in space-to-depth blocks
+                # the slice below needs (pmax - pad_k) even: widen the kernel by
+                # one zero tap per side when parities differ
+                if (pmax - kernel // 2) % 2:
+                    w = jnp.pad(w, ((1, 1), (1, 1), (0, 0), (0, 0)))
+                wt, _ = _phase_tiled_kernel(w.astype(self.dtype), 2)
+                off = (pmax - w.shape[0] // 2) // 2  # in space-to-depth blocks
                 xs_k = xs if off == 0 else xs[:, off:-off, off:-off, :]
-                y_i = jax.lax.conv_general_dilated(
+                ys.append(jax.lax.conv_general_dilated(
                     xs_k, wt, (1, 1), 'VALID',
-                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-                # tail-pad blocks can add trailing VALID outputs; the grid
-                # origin is exact so trimming the end is exact
-                nb = (x.shape[1] // s, x.shape[2] // s)
-                assert y_i.shape[1] >= nb[0] and y_i.shape[2] >= nb[1], (
-                    y_i.shape, nb, kernel, s)
-                ys.append(y_i[:, :nb[0], :nb[1], :])
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC')))
                 bs.append(b)
             bias = jnp.concatenate(bs)
             # per-scale channels are (p1 p2 o_i); emit phase-major across scales
             # so one depth-to-space covers the concatenated output
-            o_sz = [y.shape[-1] // (s * s) for y in ys]
+            o_sz = [y.shape[-1] // 4 for y in ys]
             y = jnp.concatenate(
-                [y[..., ph * o: (ph + 1) * o] for ph in range(s * s)
+                [y[..., ph * o: (ph + 1) * o] for ph in range(4)
                  for y, o in zip(ys, o_sz)], axis=-1)
-            y = rearrange(y, 'b h w (p1 p2 o) -> b (h p1) (w p2) o', p1=s, p2=s)
+            y = rearrange(y, 'b h w (p1 p2 o) -> b (h p1) (w p2) o', p1=2, p2=2)
             y = y + bias.astype(y.dtype)
             if big:
                 # at >512^2 the depth-to-space gather fused into consumers
